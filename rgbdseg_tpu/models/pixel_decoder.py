@@ -1,0 +1,158 @@
+"""Pixel decoder: multi-scale deformable-attention encoder + FPN lateral fusion.
+
+Capability parity with Mask2FormerPixelDecoder (HF modeling_mask2former.py:
+1206-1387; I/O contract recorded by the reference in
+experiments/architecture/architecture_change.md:49-51): 4 backbone maps ->
+(mask_features at stride 4, three 256-d maps at strides 32/16/8).
+
+TPU-native formulation of deformable attention: instead of the reference
+stack's CUDA `ms_deform_attn` kernel, sampling is expressed as a batched
+bilinear gather (`grid_sample_bilinear`) per level plus an einsum reduction —
+XLA fuses the gathers and maps the projections onto the MXU. Levels are
+processed with static shapes (the three level resolutions are compile-time
+constants).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..ops.resize import grid_sample_bilinear, resize_bilinear
+from .position import sine_position_embedding
+
+
+class DeformableAttention(nn.Module):
+    """Multi-scale deformable self-attention (n_levels levels, n_points points)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, hidden_states, position_embeddings, reference_points, spatial_shapes):
+        cfg = self.cfg
+        d = cfg.feature_size
+        nh = cfg.num_attention_heads
+        nl = len(spatial_shapes)
+        npts = cfg.deformable_points
+        hd = d // nh
+        b, l, _ = hidden_states.shape
+
+        with_pos = hidden_states + position_embeddings
+        value = nn.Dense(d, name="value_proj")(hidden_states)
+        value = value.reshape(b, l, nh, hd)
+
+        offsets = nn.Dense(nh * nl * npts * 2, name="sampling_offsets")(with_pos)
+        offsets = offsets.reshape(b, l, nh, nl, npts, 2)
+        weights = nn.Dense(nh * nl * npts, name="attention_weights")(with_pos)
+        weights = jax.nn.softmax(weights.reshape(b, l, nh, nl * npts), axis=-1)
+        weights = weights.reshape(b, l, nh, nl, npts)
+
+        # offset normalizer is (w, h) per level (HF modeling_mask2former.py:963-972)
+        normalizer = jnp.asarray([[w, h] for (h, w) in spatial_shapes], jnp.float32)
+        locations = (
+            reference_points[:, :, None, :, None, :]
+            + offsets / normalizer[None, None, None, :, None, :]
+        )  # (B, L, nh, nl, P, 2) in [0, 1] (x, y)
+
+        # Gather per level: fold heads into batch for the bilinear sampling.
+        level_start = np.cumsum([0] + [h * w for h, w in spatial_shapes])
+        out = jnp.zeros((b, l, nh, hd), hidden_states.dtype)
+        sampled_all = []
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            v = value[:, level_start[lvl] : level_start[lvl + 1]]  # (B, hw, nh, hd)
+            v = v.transpose(0, 2, 1, 3).reshape(b * nh, h, w, hd)
+            coords = locations[:, :, :, lvl]  # (B, L, nh, P, 2)
+            coords = coords.transpose(0, 2, 1, 3, 4).reshape(b * nh, l * npts, 2)
+            sampled = grid_sample_bilinear(v, coords)  # (B*nh, L*P, hd)
+            sampled = sampled.reshape(b, nh, l, npts, hd)
+            sampled_all.append(sampled)
+        sampled = jnp.stack(sampled_all, axis=3)  # (B, nh, L, nl, P, hd)
+        out = jnp.einsum("bhlnp,bhlnpd->blhd", weights.transpose(0, 2, 1, 3, 4), sampled)
+        out = out.reshape(b, l, d)
+        return nn.Dense(d, name="output_proj")(out)
+
+
+class EncoderLayer(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x, pos, reference_points, spatial_shapes):
+        cfg = self.cfg
+        y = DeformableAttention(cfg, name="self_attn")(x, pos, reference_points, spatial_shapes)
+        x = nn.LayerNorm(name="self_attn_layer_norm")(x + y)
+        y = nn.Dense(cfg.encoder_feedforward_dim, name="fc1")(x)
+        y = nn.relu(y)
+        y = nn.Dense(cfg.feature_size, name="fc2")(y)
+        x = nn.LayerNorm(name="final_layer_norm")(x + y)
+        return x
+
+
+def reference_points_for_shapes(spatial_shapes) -> jnp.ndarray:
+    """(L_total, 2) normalized (x, y) half-pixel reference points (valid ratios = 1)."""
+    pts = []
+    for h, w in spatial_shapes:
+        ry = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+        rx = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+        gy, gx = jnp.meshgrid(ry, rx, indexing="ij")
+        pts.append(jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1))
+    return jnp.concatenate(pts, axis=0)
+
+
+class PixelDecoder(nn.Module):
+    """features (4 NHWC maps, low->high stride) -> (mask_features, 3 multi-scale maps)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, features):
+        cfg = self.cfg
+        d = cfg.feature_size
+        nl = cfg.num_feature_levels
+
+        # Input projections on the nl smallest maps, highest stride first.
+        level_feats = features[::-1][:nl]  # [s32, s16, s8]
+        embeds, poses, shapes = [], [], []
+        level_embed = self.param("level_embed", nn.initializers.normal(1.0), (nl, d))
+        for i, f in enumerate(level_feats):
+            x = nn.Conv(d, (1, 1), name=f"input_proj{i}_conv")(f)
+            x = nn.GroupNorm(num_groups=32, name=f"input_proj{i}_norm")(x)
+            b, h, w, _ = x.shape
+            embeds.append(x.reshape(b, h * w, d))
+            pos = sine_position_embedding(h, w, d // 2)
+            poses.append(pos.reshape(1, h * w, d) + level_embed[i][None, None])
+            shapes.append((h, w))
+
+        x = jnp.concatenate(embeds, axis=1)
+        pos = jnp.concatenate(poses, axis=1)
+        ref = reference_points_for_shapes(shapes)[None, :, None, :].repeat(nl, 2)
+
+        for li in range(cfg.encoder_layers):
+            x = EncoderLayer(cfg, name=f"layer{li}")(x, pos, ref, shapes)
+
+        # Split back into per-level maps.
+        outputs = []
+        start = 0
+        b = x.shape[0]
+        for h, w in shapes:
+            outputs.append(x[:, start : start + h * w].reshape(b, h, w, d))
+            start += h * w
+
+        # FPN levels between min transformer stride and common stride.
+        stride = min(cfg.feature_strides[-nl:])
+        num_fpn = int(np.log2(stride) - np.log2(cfg.common_stride))
+        fpn_feats = list(features[:num_fpn])[::-1]  # highest-of-the-low strides first
+        for i, f in enumerate(fpn_feats):
+            lateral = nn.Conv(d, (1, 1), use_bias=False, name=f"adapter{i}_conv")(f)
+            lateral = nn.GroupNorm(num_groups=32, name=f"adapter{i}_norm")(lateral)
+            up = resize_bilinear(outputs[-1], lateral.shape[1:3])
+            y = lateral + up
+            y = nn.Conv(d, (3, 3), padding=1, use_bias=False, name=f"fpn{i}_conv")(y)
+            y = nn.GroupNorm(num_groups=32, name=f"fpn{i}_norm")(y)
+            y = nn.relu(y)
+            outputs.append(y)
+
+        mask_features = nn.Conv(cfg.mask_feature_size, (1, 1), name="mask_projection")(outputs[-1])
+        return mask_features, tuple(outputs[:nl])

@@ -1,0 +1,246 @@
+"""Swin Transformer backbone (Swin-T defaults), TPU-native Flax implementation.
+
+Capability parity with the reference's encoder (HF SwinBackbone, consumed via
+`load_backbone` in custom_model.py:13; contract documented in
+experiments/architecture/architecture_change.md:39-41): input (B, H, W, 3) ->
+4 feature maps at strides 4/8/16/32 with channels [C, 2C, 4C, 8C], each taken
+*before* the stage's patch-merging downsample and passed through a per-stage
+LayerNorm.
+
+Implementation notes (TPU-first):
+- NHWC activations throughout; window attention is a batched dense attention
+  over (B * num_windows, window², C) — XLA maps the matmuls straight onto the
+  MXU. Shifted windows use jnp.roll + a precomputed additive mask.
+- `always_partition` semantics of the HF backbone: the window size and shift
+  are NOT shrunk for small feature maps; maps are zero-padded up to window
+  multiples (matching HF SwinLayer.maybe_pad).
+- Stochastic depth (drop_path) is linearly scheduled over all blocks and only
+  active when `deterministic=False`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SwinConfig
+
+
+def drop_path(x: jnp.ndarray, rate: float, deterministic: bool, rng) -> jnp.ndarray:
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+    return x / keep * mask
+
+
+def window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B * nH * nW, ws*ws, C); H, W must be multiples of ws."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, c)
+
+
+def window_unpartition(x: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray:
+    b = x.shape[0] // ((h // ws) * (w // ws))
+    c = x.shape[-1]
+    x = x.reshape(b, h // ws, w // ws, ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+def _relative_position_index(ws: int) -> np.ndarray:
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    coords = coords.reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)  # (ws², ws²)
+
+
+def _shift_attn_mask(hp: int, wp: int, ws: int, shift: int) -> np.ndarray:
+    """Standard Swin shifted-window attention mask: (nW, ws², ws²) additive."""
+    img = np.zeros((hp, wp))
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wslice in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[hs, wslice] = cnt
+            cnt += 1
+    win = img.reshape(hp // ws, ws, wp // ws, ws).transpose(0, 2, 1, 3).reshape(-1, ws * ws)
+    mask = win[:, None, :] - win[:, :, None]
+    return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, attn_mask, deterministic: bool = True):
+        # x: (nB, N, C) with N = ws²; attn_mask: (nW, N, N) or None.
+        nb, n, c = x.shape
+        hd = c // self.num_heads
+        q = nn.Dense(c, use_bias=self.qkv_bias, name="query")(x)
+        k = nn.Dense(c, use_bias=self.qkv_bias, name="key")(x)
+        v = nn.Dense(c, use_bias=self.qkv_bias, name="value")(x)
+
+        def heads(t):
+            return t.reshape(nb, n, self.num_heads, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q * (hd**-0.5), k)
+
+        rpb_table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.zeros,
+            ((2 * self.window_size - 1) ** 2, self.num_heads),
+        )
+        rpi = jnp.asarray(_relative_position_index(self.window_size).reshape(-1))
+        bias = rpb_table[rpi].reshape(n, n, self.num_heads).transpose(2, 0, 1)
+        attn = attn + bias[None]
+
+        if attn_mask is not None:
+            nw = attn_mask.shape[0]
+            attn = attn.reshape(nb // nw, nw, self.num_heads, n, n)
+            attn = attn + attn_mask[None, :, None]
+            attn = attn.reshape(nb, self.num_heads, n, n)
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(nb, n, c)
+        out = nn.Dense(c, name="proj")(out)
+        return out
+
+
+class SwinBlock(nn.Module):
+    cfg: SwinConfig
+    dim: int
+    num_heads: int
+    shift: int
+    drop_path_rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        # x: (B, H, W, C)
+        b, h, w, c = x.shape
+        ws = self.cfg.window_size
+        shift = self.shift
+
+        shortcut = x
+        x = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps, name="norm1")(x)
+
+        pad_h = (ws - h % ws) % ws
+        pad_w = (ws - w % ws) % ws
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        hp, wp = h + pad_h, w + pad_w
+
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+            attn_mask = jnp.asarray(_shift_attn_mask(hp, wp, ws, shift))
+        else:
+            attn_mask = None
+
+        xw = window_partition(x, ws)
+        xw = WindowAttention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            window_size=ws,
+            qkv_bias=self.cfg.qkv_bias,
+            name="attention",
+        )(xw, attn_mask, deterministic=deterministic)
+        x = window_unpartition(xw, ws, hp, wp)
+
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        if pad_h or pad_w:
+            x = x[:, :h, :w]
+
+        if not deterministic and self.drop_path_rate > 0:
+            x = drop_path(x, self.drop_path_rate, deterministic, self.make_rng("droppath"))
+        x = shortcut + x
+
+        shortcut = x
+        y = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps, name="norm2")(x)
+        y = nn.Dense(int(self.dim * self.cfg.mlp_ratio), name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim, name="mlp_fc2")(y)
+        if not deterministic and self.drop_path_rate > 0:
+            y = drop_path(y, self.drop_path_rate, deterministic, self.make_rng("droppath"))
+        return shortcut + y
+
+
+class PatchMerging(nn.Module):
+    cfg: SwinConfig
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        if h % 2 or w % 2:
+            x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = nn.LayerNorm(epsilon=self.cfg.layer_norm_eps, name="norm")(x)
+        x = nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
+        return x
+
+
+class SwinBackbone(nn.Module):
+    """Returns 4 NHWC feature maps (strides 4/8/16/32), LayerNorm'ed per stage."""
+
+    cfg: SwinConfig
+
+    @nn.compact
+    def __call__(self, pixel_values: jnp.ndarray, deterministic: bool = True):
+        cfg = self.cfg
+        x = pixel_values
+        b, h, w, _ = x.shape
+        ps = cfg.patch_size
+        pad_h = (ps - h % ps) % ps
+        pad_w = (ps - w % ps) % ps
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        x = nn.Conv(cfg.embed_dim, (ps, ps), strides=(ps, ps), padding="VALID", name="patch_embed")(x)
+        if cfg.patch_norm:
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="patch_norm")(x)
+
+        total_blocks = sum(cfg.depths)
+        dpr = np.linspace(0, cfg.drop_path_rate, total_blocks)
+        features = []
+        block_idx = 0
+        dim = cfg.embed_dim
+        for stage in range(cfg.num_layers):
+            for blk in range(cfg.depths[stage]):
+                shift = 0 if blk % 2 == 0 else cfg.window_size // 2
+                x = SwinBlock(
+                    cfg=cfg,
+                    dim=dim,
+                    num_heads=cfg.num_heads[stage],
+                    shift=shift,
+                    drop_path_rate=float(dpr[block_idx]),
+                    name=f"stage{stage}_block{blk}",
+                )(x, deterministic=deterministic)
+                block_idx += 1
+            feat = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name=f"out_norm{stage}")(x)
+            features.append(feat)
+            if stage < cfg.num_layers - 1:
+                x = PatchMerging(cfg=cfg, dim=dim, name=f"downsample{stage}")(x)
+                dim *= 2
+        return tuple(features)
