@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark: NYUv2-shaped 640x480 RGB-D inference throughput, images/sec/chip.
+
+Runs the flagship model (version 0.4.0: Swin-T + E-DSAM + DGGM + deformable
+pixel decoder + masked-attention decoder) on one chip and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+Baseline: the reference's published 640² eval throughput on its GPU,
+test_samples_per_second ≈ 0.61 (BASELINE.md, coco82v2_multi_640).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_THROUGHPUT = 0.61  # images/s, reference 640² eval on 1x GPU
+
+
+def main():
+    from rgbdseg_tpu.config import ModelConfig
+    from rgbdseg_tpu.models.mask2former import Mask2FormerRGBD
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    h, w = 480, 640  # NYUv2 aspect, both divisible by 32
+    cfg = ModelConfig(num_labels=40, version="0.4.0")
+    model = Mask2FormerRGBD(cfg)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, h, w, 10), jnp.float32)
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, h, w, 10), jnp.float32)
+    )
+
+    @jax.jit
+    def forward(px):
+        out = model.apply(variables, px, deterministic=True)
+        return out.class_queries_logits, out.masks_queries_logits
+
+    # Warmup / compile.
+    out = forward(x)
+    jax.block_until_ready(out)
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(x)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "NYUv2 640x480 images/sec/chip (inference, v0.4.0)",
+                "value": round(images_per_sec, 3),
+                "unit": "images/sec",
+                "vs_baseline": round(images_per_sec / REFERENCE_THROUGHPUT, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Training/eval CLI — reference `finetuning.py` equivalent.
+
+Usage:  python finetune.py config.json
+        python finetune.py --root_path ... --train_json_path ... [flags]
+
+Flow mirrors reference finetuning.py:39-153: parse args -> find last checkpoint
+-> build datasets -> build model (version-dispatched) -> train -> save metrics/
+state -> final prediction pass with optional COCO-RLE JSON export.
+"""
+
+import json
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rgbdseg_tpu.config import ModelConfig
+from rgbdseg_tpu.data.pipeline import build_datasets
+from rgbdseg_tpu.train.arguments import parse_args
+from rgbdseg_tpu.train.checkpoints import find_last_checkpoint
+from rgbdseg_tpu.train.trainer import Trainer, save_metrics
+from rgbdseg_tpu.utils.log import setup_logging
+
+logger = logging.getLogger(__name__)
+
+
+def main(argv=None):
+    args, training_args = parse_args(argv)
+    setup_logging()
+    logger.info("Training/evaluation parameters %s", training_args)
+
+    last_checkpoint = None
+    if training_args.do_train and not training_args.overwrite_output_dir:
+        last_checkpoint = find_last_checkpoint(training_args.output_dir, training_args.overwrite_output_dir)
+        if last_checkpoint:
+            logger.info("Resuming from checkpoint %s", last_checkpoint)
+
+    train_ds, valid_ds, label2id, id2label = build_datasets(args)
+    cfg = ModelConfig(num_labels=len(label2id), version=args.version)
+
+    trainer = Trainer(cfg, training_args, train_ds, valid_ds, id2label)
+
+    if training_args.do_train:
+        metrics = trainer.train(resume_from_checkpoint=training_args.resume_from_checkpoint or last_checkpoint)
+        metrics["train_samples"] = len(train_ds)
+        save_metrics(training_args.output_dir, "train", metrics)
+        trainer.save_state()
+
+    if training_args.do_eval:
+        outputs, metrics = trainer.predict(valid_ds)
+        metrics["test_samples"] = len(valid_ds)
+        save_metrics(training_args.output_dir, "test", metrics)
+        logger.info("test metrics: %s", json.dumps(metrics, indent=2))
+
+        if args.prediction_json_path or args.gt_json_path or args.comparison_output_dir:
+            from rgbdseg_tpu.inference.export import process_prediction
+
+            process_prediction(
+                outputs,
+                valid_ds,
+                id2label,
+                prediction_json_path=args.prediction_json_path,
+                gt_json_path=args.gt_json_path,
+                comparison_output_dir=args.comparison_output_dir,
+            )
+
+
+if __name__ == "__main__":
+    main()

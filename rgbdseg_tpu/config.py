@@ -117,7 +117,8 @@ class ModelConfig:
             decoder_layers=4,
             num_attention_heads=4,
             dim_feedforward=64,
-            train_num_points=256,
+            train_num_points=64,
+            dsam_hist_bins=64,
             version=version,
         )
 

@@ -1,0 +1,172 @@
+"""Dataset + fixed-shape padded batching.
+
+Replaces the reference's HF `datasets.map` + ragged collate (reference:
+dataloader.py:540-565, 762-780) with a TPU-friendly pipeline:
+- meta-JSON records are processed by the version's channel builder (registry.py)
+- variable-count instance masks are padded to `max_instances` with a validity
+  mask (static shapes through matcher/losses/eval)
+- batches are assembled by a thread-pool prefetcher (decode + cv2 run on host
+  while the device computes)
+
+Meta JSON schema (reference: dataset/local/experiment_tiny_set/train.json,
+architecture_change.md:185-200):
+  [{"image": path or [rgb, depth, ...], "annotation": mask.png,
+    "semantic_class_to_id": {...}}, ...]
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as futures
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..config import PreprocessConfig
+from ..versions import get as get_version
+from .registry import MAP_FUNCTIONS
+
+
+@dataclass
+class Batch:
+    pixel_values: np.ndarray  # (B, H, W, C) float32
+    mask_labels: np.ndarray  # (B, T, H, W) float32
+    class_labels: np.ndarray  # (B, T) int32
+    valid: np.ndarray  # (B, T) bool
+
+
+def load_meta(path: str, root: Optional[str] = None) -> list[dict]:
+    with open(path) as f:
+        records = json.load(f)
+    if root:
+        for r in records:
+            img = r["image"]
+            r["image"] = (
+                [os.path.join(root, p) for p in img] if isinstance(img, list) else os.path.join(root, img)
+            )
+            r["annotation"] = os.path.join(root, r["annotation"])
+    return records
+
+
+def get_label2id(path: str) -> dict[str, int]:
+    with open(path) as f:
+        return json.load(f)
+
+
+class SegmentationDataset:
+    """Deterministic, indexable dataset producing fixed-shape examples."""
+
+    def __init__(
+        self,
+        records: list[dict],
+        version: str,
+        preprocess: PreprocessConfig,
+        max_instances: int = 20,
+    ):
+        self.records = records
+        self.version = version
+        self.preprocess = preprocess
+        self.max_instances = max_instances
+        self.map_fn = MAP_FUNCTIONS[get_version(version).map_fn]
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def __getitem__(self, idx: int):
+        pix, masks, labels = self.map_fn(self.records[idx], self.preprocess)
+        t = self.max_instances
+        n = min(masks.shape[0], t)
+        h, w = pix.shape[:2]
+        pm = np.zeros((t, h, w), np.float32)
+        pc = np.zeros((t,), np.int32)
+        pv = np.zeros((t,), bool)
+        pm[:n] = masks[:n]
+        pc[:n] = labels[:n]
+        pv[:n] = True
+        return pix.astype(np.float32), pm, pc, pv
+
+    def batches(
+        self,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = False,
+        num_workers: int = 4,
+        epoch: int = 0,
+    ) -> Iterator[Batch]:
+        order = np.arange(len(self))
+        if shuffle:
+            order = np.random.RandomState(seed + epoch).permutation(order)
+        # Pad the final partial batch by repeating the first examples so shapes
+        # stay static; callers can ignore padded rows via Batch sizes.
+        idx_batches = []
+        for s in range(0, len(order), batch_size):
+            chunk = order[s : s + batch_size]
+            if len(chunk) < batch_size:
+                if drop_last:
+                    continue
+                pad = order[: batch_size - len(chunk)]
+                chunk = np.concatenate([chunk, pad])
+            idx_batches.append(chunk)
+
+        with futures.ThreadPoolExecutor(max_workers=num_workers) as pool:
+            pending = []
+            it = iter(idx_batches)
+
+            def submit_next():
+                try:
+                    chunk = next(it)
+                except StopIteration:
+                    return None
+                return pool.submit(self._assemble, chunk)
+
+            for _ in range(2):  # double-buffer
+                f = submit_next()
+                if f:
+                    pending.append(f)
+            while pending:
+                f = pending.pop(0)
+                nxt = submit_next()
+                if nxt:
+                    pending.append(nxt)
+                yield f.result()
+
+    def _assemble(self, indices) -> Batch:
+        items = [self[int(i)] for i in indices]
+        return Batch(
+            pixel_values=np.stack([i[0] for i in items]),
+            mask_labels=np.stack([i[1] for i in items]),
+            class_labels=np.stack([i[2] for i in items]),
+            valid=np.stack([i[3] for i in items]),
+        )
+
+
+def build_datasets(args) -> tuple["SegmentationDataset", "SegmentationDataset", dict, dict]:
+    """Reference `dataloader(args, ...)` equivalent (dataloader.py:540-565):
+    returns (train, valid, label2id, id2label) honoring do_reduce_labels."""
+    label2id = get_label2id(os.path.join(args.root_path, args.label2id_path))
+    if args.do_reduce_labels:
+        label2id = {k: v - 1 for k, v in label2id.items() if v != 0}
+    id2label = {v: k for k, v in label2id.items()}
+
+    pp = PreprocessConfig(
+        height=args.image_height,
+        width=args.image_width,
+        do_reduce_labels=args.do_reduce_labels,
+        ignore_index=args.ignore_index,
+    )
+    train = SegmentationDataset(
+        load_meta(os.path.join(args.root_path, args.train_json_path), args.root_path),
+        args.version,
+        pp,
+        max_instances=args.max_instances,
+    )
+    valid = SegmentationDataset(
+        load_meta(os.path.join(args.root_path, args.valid_json_path), args.root_path),
+        args.version,
+        pp,
+        max_instances=args.max_instances,
+    )
+    return train, valid, label2id, id2label

@@ -1,0 +1,70 @@
+"""Single-image predictor (reference: predictor.py:19-69).
+
+Loads a checkpoint, preprocesses one image (optionally with depth for RGB-D
+versions), runs the jitted forward, post-processes, and returns/saves a
+colored instance overlay.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..config import ModelConfig, PreprocessConfig
+from ..models.mask2former import Mask2FormerRGBD
+from ..versions import get as get_version
+from ..data.registry import MAP_FUNCTIONS
+from .postprocess import post_process_instance_segmentation
+from .visualize import overlay_instances, _color_for
+
+
+class Predictor:
+    def __init__(self, cfg: ModelConfig, params, batch_stats=None, preprocess: Optional[PreprocessConfig] = None):
+        self.cfg = cfg
+        self.model = Mask2FormerRGBD(cfg)
+        self.params = params
+        self.batch_stats = batch_stats or {}
+        self.preprocess = preprocess or PreprocessConfig()
+        self._apply = jax.jit(self._forward)
+
+    def _forward(self, pixel_values):
+        variables = {"params": self.params}
+        if jax.tree_util.tree_leaves(self.batch_stats):
+            variables["batch_stats"] = self.batch_stats
+        out = self.model.apply(variables, pixel_values, deterministic=True)
+        return out.class_queries_logits, out.masks_queries_logits
+
+    def predict_example(self, example: dict, threshold: float = 0.5) -> dict:
+        """example: meta-JSON record {"image": ..., "annotation": optional}."""
+        map_fn = MAP_FUNCTIONS[get_version(self.cfg.version).map_fn]
+        if "annotation" not in example or example.get("annotation") is None:
+            raise ValueError("predict_example needs an annotation for the map fn; use predict_arrays")
+        pix, _, _ = map_fn(example, self.preprocess)
+        return self.predict_pixels(pix[None], threshold)[0]
+
+    def predict_pixels(self, pixel_values: np.ndarray, threshold: float = 0.5) -> list[dict]:
+        cls_logits, mask_logits = self._apply(pixel_values)
+        target_sizes = [pixel_values.shape[1:3]] * pixel_values.shape[0]
+        return post_process_instance_segmentation(
+            cls_logits, mask_logits, threshold=threshold, target_sizes=target_sizes, return_binary_maps=True
+        )
+
+    def predict_and_overlay(self, image_rgb: np.ndarray, threshold: float = 0.5, save: Optional[str] = None):
+        """RGB-only convenience path (version 0.0.0)."""
+        from ..data.preprocess import process_image
+
+        pix = process_image(image_rgb, self.preprocess)
+        res = self.predict_pixels(pix[None].astype(np.float32), threshold)[0]
+        from ..inference.postprocess import _resize_nearest_np
+
+        masks = _resize_nearest_np(res["segmentation"], image_rgb.shape[:2]) if res["segmentation"].size else res["segmentation"]
+        vis = overlay_instances(image_rgb, masks)
+        if save:
+            import cv2
+
+            os.makedirs(os.path.dirname(save) or ".", exist_ok=True)
+            cv2.imwrite(save, cv2.cvtColor(vis, cv2.COLOR_RGB2BGR))
+        return res, vis

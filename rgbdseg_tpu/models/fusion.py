@@ -1,0 +1,306 @@
+"""Depth-fusion modules: DGGM (3 variants), DSAM, E-DSAM predictors, fusers.
+
+Parity targets in the reference's custom_model.py:
+- FeatureFuser (:505-540), SpatialAttention / FeatureFuserWithSpatialAttention
+  (:543-619)
+- DSAModule (:622-820) — here fully batched: the per-sample Python loop +
+  CPU histogram round-trip become `ops.depth_decomp.dsam_region_masks`
+- RatioPredictor (:823-897), DepthImageRatioPredictor (:1272-1360),
+  EnhancedDepthImageRatioPredictor (:1363-1487)
+- IntrinsicsPredictorFromDepthImage (:900-1006)
+- DepthGradientInjection (:1009-1089), ...WithMask (:1092-1166),
+  ...Residual (:1169-1269)
+
+All modules are NHWC. BatchNorm keeps running statistics in the `batch_stats`
+collection (torch BatchNorm2d parity, momentum 0.1 / eps 1e-5).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.depth_decomp import dsam_region_masks
+from ..ops.image import to_grayscale
+from ..ops.resize import (
+    adaptive_avg_pool2d,
+    adaptive_max_pool2d,
+    resize_bilinear,
+    resize_nearest,
+)
+
+
+def _bn(name: str, deterministic: bool):
+    return nn.BatchNorm(
+        use_running_average=deterministic, momentum=0.9, epsilon=1e-5, name=name
+    )
+
+
+class FeatureFuser(nn.Module):
+    """Per-scale concat(color, depth) -> 1x1 conv -> ReLU back to color channels."""
+
+    @nn.compact
+    def __call__(self, color_maps, depth_maps):
+        assert len(color_maps) == len(depth_maps)
+        out = []
+        for i, (c, d) in enumerate(zip(color_maps, depth_maps)):
+            m = jnp.concatenate([c, d], axis=-1)
+            m = nn.Conv(c.shape[-1], (1, 1), name=f"fuse{i}")(m)
+            out.append(nn.relu(m))
+        return out
+
+
+class SpatialAttention(nn.Module):
+    """CBAM-style spatial attention (mean+max pool over channels -> 1x1 conv -> sigmoid)."""
+
+    @nn.compact
+    def __call__(self, x):
+        avg = jnp.mean(x, axis=-1, keepdims=True)
+        mx = jnp.max(x, axis=-1, keepdims=True)
+        a = nn.Conv(1, (1, 1), name="conv")(jnp.concatenate([avg, mx], axis=-1))
+        return jax.nn.sigmoid(a)
+
+
+class FeatureFuserWithSpatialAttention(nn.Module):
+    """Attention-weighted FeatureFuser variant (defined in the reference, not
+    wired into any version — kept for capability parity)."""
+
+    @nn.compact
+    def __call__(self, color_maps, depth_maps):
+        out = []
+        for i, (c, d) in enumerate(zip(color_maps, depth_maps)):
+            merged = jnp.concatenate([c, d], axis=-1)
+            attn = SpatialAttention(name=f"spatial_attention{i}")(merged)
+            re = jnp.concatenate([c * attn, d * attn], axis=-1)
+            re = nn.Conv(c.shape[-1], (1, 1), name=f"fuse{i}")(re)
+            out.append(nn.relu(re))
+        return out
+
+
+class DSAModule(nn.Module):
+    """Depth-Sensitive Attention Module, batched.
+
+    Consumes precomputed region masks + active flags (see
+    ops.depth_decomp.region_masks for the exact variable-length semantics being
+    encoded). With in != out channels the T+1 region convs are 3x3 stride-2
+    (spatial halves) and the residual projection is a bias-free 3x3 stride-2;
+    otherwise all convs are 1x1 and the residual is the identity.
+    """
+
+    in_channels: int
+    out_channels: int
+    num_regions: int = 3
+
+    @nn.compact
+    def __call__(self, features, masks, active):
+        # features: (B, H, W, Cin); masks: (B, T+1, Hd, Wd); active: (B, T+1)
+        b, h, w, _ = features.shape
+        strided = self.in_channels != self.out_channels
+        enhanced = None
+        for i in range(self.num_regions + 1):
+            m = adaptive_max_pool2d(masks[:, i][..., None], (h, w))
+            masked = features * m
+            if strided:
+                y = nn.Conv(
+                    self.out_channels, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), name=f"conv{i}"
+                )(masked)
+            else:
+                y = nn.Conv(self.out_channels, (1, 1), name=f"conv{i}")(masked)
+            y = y * active[:, i][:, None, None, None]
+            enhanced = y if enhanced is None else enhanced + y
+        if strided:
+            proj = nn.Conv(
+                self.out_channels,
+                (3, 3),
+                strides=(2, 2),
+                padding=((1, 1), (1, 1)),
+                use_bias=False,
+                name="rgb_projection",
+            )(features)
+        else:
+            proj = features
+        return enhanced + proj
+
+
+class DSAMCascade(nn.Module):
+    """The 3-stage DSAM cascade shared by versions 0.1.1-0.4.0
+    (reference forward: custom_model.py:216-229 et al.): dsam_k maps scale k
+    features (C_k) to C_{k+1} at half resolution and adds into scale k+1."""
+
+    channels: Sequence[int] = (96, 192, 384, 768)
+    num_regions: int = 3
+    hist_bins: int = 512
+    prominence: float = 0.01
+
+    @nn.compact
+    def __call__(self, color_maps, depth_3ch, ratio):
+        # color_maps: list of 4 NHWC maps; depth_3ch: (B, H, W, 3) normalized
+        # depth image; ratio: (B,) window-size ratio.
+        gray = to_grayscale(depth_3ch)  # (B, H, W)
+        masks, active = dsam_region_masks(
+            gray, ratio, num_modes=self.num_regions, bins=self.hist_bins, prominence_frac=self.prominence
+        )
+        maps = list(color_maps)
+        for k in range(3):
+            dsam = DSAModule(
+                in_channels=self.channels[k],
+                out_channels=self.channels[k + 1],
+                num_regions=self.num_regions,
+                name=f"dsam{k}",
+            )
+            maps[k + 1] = maps[k + 1] + dsam(maps[k], masks, active)
+        return maps
+
+
+class RatioPredictor(nn.Module):
+    """GAP over 4 depth-pyramid scales -> MLP -> sigmoid scaled to [0.01, 0.5]."""
+
+    out_min: float = 0.01
+    out_max: float = 0.5
+
+    @nn.compact
+    def __call__(self, depth_maps):
+        pooled = [jnp.mean(f, axis=(1, 2)) for f in depth_maps]
+        x = jnp.concatenate(pooled, axis=-1)
+        x = nn.relu(nn.Dense(64, name="fc0")(x))
+        x = nn.relu(nn.Dense(32, name="fc1")(x))
+        raw = nn.Dense(1, name="fc2")(x)
+        return self.out_min + (self.out_max - self.out_min) * jax.nn.sigmoid(raw)
+
+
+class DepthImageRatioPredictor(nn.Module):
+    """Conv net on the 3-channel depth image -> ratio (reference :1272-1360)."""
+
+    out_min: float = 0.01
+    out_max: float = 0.5
+
+    @nn.compact
+    def __call__(self, depth, deterministic: bool = True):
+        x = depth
+        for i, ch in enumerate((32, 64, 128)):
+            x = nn.Conv(ch, (3, 3), padding=1, name=f"conv{i}")(x)
+            x = _bn(f"bn{i}", deterministic)(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = nn.Conv(256, (3, 3), padding=1, name="conv3")(x)
+        x = _bn("bn3", deterministic)(x)
+        x = nn.relu(x)
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.relu(nn.Dense(64, name="fc0")(x))
+        x = nn.Dropout(0.2, deterministic=deterministic)(x)
+        x = nn.relu(nn.Dense(32, name="fc1")(x))
+        x = nn.Dropout(0.2, deterministic=deterministic)(x)
+        raw = nn.Dense(1, name="fc2")(x)
+        return self.out_min + (self.out_max - self.out_min) * jax.nn.sigmoid(raw)
+
+
+class EnhancedDepthImageRatioPredictor(nn.Module):
+    """E-DSAM ratio predictor used by version 0.4.0 (reference :1363-1487):
+    3/5/7 multi-scale convs + channel attention + conv/pool tower + MLP."""
+
+    out_min: float = 0.01
+    out_max: float = 0.5
+
+    @nn.compact
+    def __call__(self, depth, deterministic: bool = True):
+        scales = []
+        for i, k in enumerate((3, 5, 7)):
+            s = nn.Conv(64, (k, k), padding=k // 2, name=f"scale{i}_conv")(depth)
+            s = _bn(f"scale{i}_bn", deterministic)(s)
+            scales.append(nn.relu(s))
+        x = jnp.concatenate(scales, axis=-1)
+        x = nn.Conv(128, (1, 1), name="fusion_conv")(x)
+        x = _bn("fusion_bn", deterministic)(x)
+        x = nn.relu(x)
+
+        a = nn.relu(nn.Conv(64, (1, 1), name="attn_conv0")(x))
+        a = jax.nn.sigmoid(nn.Conv(128, (1, 1), name="attn_conv1")(a))
+        x = x * a
+
+        x = nn.Conv(256, (3, 3), padding=1, name="extract_conv0")(x)
+        x = _bn("extract_bn0", deterministic)(x)
+        x = nn.relu(x)
+        x = adaptive_avg_pool2d(x, (4, 4))
+        x = nn.Conv(512, (3, 3), padding=1, name="extract_conv1")(x)
+        x = _bn("extract_bn1", deterministic)(x)
+        x = nn.relu(x)
+        x = jnp.mean(x, axis=(1, 2))
+
+        x = nn.relu(nn.Dense(128, name="fc0")(x))
+        x = nn.Dropout(0.3, deterministic=deterministic)(x)
+        x = nn.relu(nn.Dense(64, name="fc1")(x))
+        x = nn.Dropout(0.2, deterministic=deterministic)(x)
+        x = nn.relu(nn.Dense(32, name="fc2")(x))
+        raw = nn.Dense(1, name="fc3")(x)
+        return self.out_min + (self.out_max - self.out_min) * jax.nn.sigmoid(raw)
+
+
+class IntrinsicsPredictor(nn.Module):
+    """Gray depth image -> (fx, fy, cx, cy), each (B,) (reference :900-1006)."""
+
+    @nn.compact
+    def __call__(self, gray_depth):
+        # gray_depth: (B, H, W, 1)
+        h, w = gray_depth.shape[1:3]
+        x = gray_depth
+        for i, ch in enumerate((32, 64, 128)):
+            x = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), name=f"conv{i}")(x)
+            x = nn.relu(x)
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.relu(nn.Dense(64, name="fc0")(x))
+        x = nn.relu(nn.Dense(32, name="fc1")(x))
+        raw = nn.Dense(4, name="fc2")(x)
+        fx = jnp.exp(raw[:, 0])
+        fy = jnp.exp(raw[:, 1])
+        cx = jax.nn.sigmoid(raw[:, 2]) * w
+        cy = jax.nn.sigmoid(raw[:, 3]) * h
+        return fx, fy, cx, cy
+
+
+class DepthGradientInjection(nn.Module):
+    """DGGM v1: per-scale bilinear-downsampled gradient concat + 1x1 conv fusion."""
+
+    @nn.compact
+    def __call__(self, color_maps, gradient):
+        out = []
+        for i, c in enumerate(color_maps):
+            g = resize_bilinear(gradient, c.shape[1:3])
+            m = jnp.concatenate([c, g], axis=-1)
+            m = nn.Conv(c.shape[-1], (1, 1), name=f"fusion{i}")(m)
+            out.append(nn.relu(m))
+        return out
+
+
+class DepthGradientInjectionWithMask(nn.Module):
+    """DGGM v2: + nearest-downsampled binary validity mask channel."""
+
+    @nn.compact
+    def __call__(self, color_maps, gradient, mask):
+        out = []
+        for i, c in enumerate(color_maps):
+            g = resize_bilinear(gradient, c.shape[1:3])
+            m = resize_nearest(mask, c.shape[1:3])
+            merged = jnp.concatenate([c, g, m], axis=-1)
+            merged = nn.Conv(c.shape[-1], (1, 1), name=f"fusion{i}")(merged)
+            out.append(nn.relu(merged))
+        return out
+
+
+class DepthGradientInjectionResidual(nn.Module):
+    """DGGM v3 (final): gated (grad x mask) -> 1x1 conv projection -> additive
+    residual fusion per scale."""
+
+    @nn.compact
+    def __call__(self, color_maps, gradient, mask):
+        out = []
+        for i, c in enumerate(color_maps):
+            g = resize_bilinear(gradient, c.shape[1:3])
+            m = resize_nearest(mask, c.shape[1:3])
+            gated = g * m
+            enh = nn.Conv(c.shape[-1], (1, 1), name=f"enhance{i}")(gated)
+            enh = nn.relu(enh)
+            out.append(c + enh)
+        return out

@@ -1,0 +1,217 @@
+"""Mask2Former criterion: Hungarian matching + point-sampled mask losses + CE.
+
+Parity target: Mask2FormerLoss / Mask2FormerHungarianMatcher (HF
+modeling_mask2former.py:278-795) with the reference's weights
+(class 2.0 / mask 5.0 / dice 5.0 / no-object 0.1, 12544 points,
+oversample 3.0, importance 0.75 — standard/config.json).
+
+TPU-native differences from the reference implementation (semantics preserved):
+- Targets are padded to a static `max_instances` with a validity mask instead of
+  ragged per-sample lists (reference: dataloader.py:772-780 keeps lists). Padding
+  rows enter the assignment with a uniform constant cost, which cannot change
+  the optimal assignment of real rows.
+- The assignment runs on-device (ops.matcher) instead of scipy-on-host.
+- Point sampling uses explicit JAX PRNG keys (deterministic given the key).
+
+All mask logits are (B, Q, H, W); target masks (B, T, H, W) float 0/1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from .matcher import hungarian_batch
+from .resize import grid_sample_bilinear
+
+
+def _sample_masks_at_points(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """masks (B, N, H, W), coords (B, P, 2) in [0,1] (x,y) -> (B, N, P)."""
+    b, n, h, w = masks.shape
+    feats = masks.transpose(0, 2, 3, 1)  # (B, H, W, N) — masks as channels
+    out = grid_sample_bilinear(feats, coords)  # (B, P, N)
+    return out.transpose(0, 2, 1)
+
+
+def _sample_each_mask(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """masks (B, N, H, W), coords (B, N, P, 2) -> (B, N, P); per-mask points."""
+    b, n, h, w = masks.shape
+    p = coords.shape[2]
+    flat = masks.reshape(b * n, h, w, 1)
+    out = grid_sample_bilinear(flat, coords.reshape(b * n, p, 2))
+    return out.reshape(b, n, p)
+
+
+def _bce_with_logits(logits, labels):
+    # log(1 + exp(-|x|)) + max(x, 0) - x * y
+    return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def pairwise_mask_costs(pred_pts: jnp.ndarray, tgt_pts: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """pred_pts (Q, P) logits, tgt_pts (T, P) in [0,1] -> (bce (Q,T), dice (Q,T))."""
+    p = pred_pts.shape[-1]
+    ce_pos = _bce_with_logits(pred_pts, jnp.ones_like(pred_pts)) / p
+    ce_neg = _bce_with_logits(pred_pts, jnp.zeros_like(pred_pts)) / p
+    bce = ce_pos @ tgt_pts.T + ce_neg @ (1.0 - tgt_pts).T
+
+    probs = jax.nn.sigmoid(pred_pts)
+    numer = 2.0 * (probs @ tgt_pts.T)
+    denom = probs.sum(-1)[:, None] + tgt_pts.sum(-1)[None, :]
+    dice = 1.0 - (numer + 1.0) / (denom + 1.0)
+    return bce, dice
+
+
+def match(
+    cfg: ModelConfig,
+    class_logits: jnp.ndarray,  # (B, Q, L+1)
+    mask_logits: jnp.ndarray,  # (B, Q, Hm, Wm)
+    target_masks: jnp.ndarray,  # (B, T, H, W)
+    target_classes: jnp.ndarray,  # (B, T) int
+    target_valid: jnp.ndarray,  # (B, T) bool
+    rng: jax.Array,
+) -> jnp.ndarray:
+    """Hungarian assignment. Returns col4row (B, T): query index per target slot."""
+    b, q = class_logits.shape[:2]
+    t = target_masks.shape[1]
+    probs = jax.nn.softmax(class_logits, axis=-1)
+    safe_cls = jnp.clip(target_classes, 0, cfg.num_labels)
+    cost_class = -jnp.take_along_axis(
+        probs, safe_cls[:, None, :].repeat(q, 1), axis=2
+    )  # (B, Q, T)
+
+    coords = jax.random.uniform(rng, (b, cfg.train_num_points, 2))
+    pred_pts = _sample_masks_at_points(mask_logits, coords)  # (B, Q, P)
+    tgt_pts = _sample_masks_at_points(target_masks, coords)  # (B, T, P)
+
+    bce, dice = jax.vmap(pairwise_mask_costs)(pred_pts, tgt_pts)
+    cost = cfg.mask_weight * bce + cfg.class_weight * cost_class + cfg.dice_weight * dice
+    cost = jnp.clip(cost, -1e10, 1e10)
+    cost = jnp.nan_to_num(cost, nan=0.0)
+    # Padding targets: uniform cost (cannot perturb real-row assignment).
+    cost = jnp.where(target_valid[:, None, :], cost, 0.0)
+    col4row = hungarian_batch(jnp.transpose(cost, (0, 2, 1)))  # rows = targets
+    return jax.lax.stop_gradient(col4row)
+
+
+def sample_points_with_uncertainty(
+    cfg: ModelConfig, pred_masks: jnp.ndarray, rng: jax.Array
+) -> jnp.ndarray:
+    """Oversample + importance-select point coords per mask (HF :672-725).
+
+    pred_masks: (B, N, H, W) logits -> coords (B, N, P, 2).
+    """
+    b, n = pred_masks.shape[:2]
+    num_points = cfg.train_num_points
+    num_sampled = int(num_points * cfg.oversample_ratio)
+    num_uncertain = int(cfg.importance_sample_ratio * num_points)
+    num_random = num_points - num_uncertain
+
+    r1, r2 = jax.random.split(rng)
+    coords = jax.random.uniform(r1, (b, n, num_sampled, 2))
+    logits = _sample_each_mask(pred_masks, coords)  # (B, N, S)
+    uncertainty = -jnp.abs(logits)
+    _, idx = jax.lax.top_k(uncertainty, num_uncertain)  # (B, N, U)
+    picked = jnp.take_along_axis(coords, idx[..., None], axis=2)
+    if num_random > 0:
+        picked = jnp.concatenate(
+            [picked, jax.random.uniform(r2, (b, n, num_random, 2))], axis=2
+        )
+    return jax.lax.stop_gradient(picked)
+
+
+def layer_losses(
+    cfg: ModelConfig,
+    class_logits: jnp.ndarray,
+    mask_logits: jnp.ndarray,
+    target_masks: jnp.ndarray,
+    target_classes: jnp.ndarray,
+    target_valid: jnp.ndarray,
+    rng: jax.Array,
+    num_masks: jnp.ndarray,
+) -> dict[str, jnp.ndarray]:
+    """Losses for one prediction layer (matcher re-run per layer, like the
+    reference's per-aux criterion calls)."""
+    b, q = class_logits.shape[:2]
+    t = target_masks.shape[1]
+    r_match, r_pts = jax.random.split(rng)
+    col4row = match(cfg, class_logits, mask_logits, target_masks, target_classes, target_valid, r_match)
+
+    # ----- mask losses on matched pairs -----
+    pred_m = jnp.take_along_axis(
+        mask_logits, col4row[:, :, None, None], axis=1
+    )  # (B, T, Hm, Wm)
+    coords = sample_points_with_uncertainty(cfg, pred_m, r_pts)
+    point_logits = _sample_each_mask(pred_m, coords)  # (B, T, P)
+    point_labels = jax.lax.stop_gradient(_sample_each_mask(target_masks, coords))
+
+    validf = target_valid.astype(jnp.float32)
+    ce = _bce_with_logits(point_logits, point_labels).mean(-1)  # (B, T)
+    loss_mask = jnp.sum(ce * validf) / num_masks
+
+    probs = jax.nn.sigmoid(point_logits)
+    numer = 2.0 * jnp.sum(probs * point_labels, -1)
+    denom = jnp.sum(probs, -1) + jnp.sum(point_labels, -1)
+    dice = 1.0 - (numer + 1.0) / (denom + 1.0)
+    loss_dice = jnp.sum(dice * validf) / num_masks
+
+    # ----- classification loss -----
+    fill = jnp.full((b, q), cfg.num_labels, jnp.int32)
+    write_cls = jnp.where(target_valid, target_classes, cfg.num_labels).astype(jnp.int32)
+    batch_idx = jnp.arange(b)[:, None].repeat(t, 1)
+    tgt_q = fill.at[batch_idx, col4row].set(write_cls)
+    # torch CrossEntropyLoss(weight): sum(w[y] * nll) / sum(w[y])
+    logp = jax.nn.log_softmax(class_logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, tgt_q[..., None], axis=-1)[..., 0]
+    wvec = jnp.concatenate(
+        [jnp.ones((cfg.num_labels,)), jnp.asarray([cfg.no_object_weight])]
+    )
+    wy = wvec[tgt_q]
+    loss_ce = jnp.sum(wy * nll) / jnp.sum(wy)
+
+    return {"loss_cross_entropy": loss_ce, "loss_mask": loss_mask, "loss_dice": loss_dice}
+
+
+def mask2former_loss(
+    cfg: ModelConfig,
+    outputs,
+    target_masks: jnp.ndarray,
+    target_classes: jnp.ndarray,
+    target_valid: jnp.ndarray,
+    rng: jax.Array,
+    axis_name: Optional[str] = None,
+) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
+    """Full criterion with auxiliary losses and weight_dict application.
+
+    Returns (total_loss, loss_dict). num_masks is averaged across devices when
+    `axis_name` is given (reference: HF get_num_masks with accelerate reduce).
+    """
+    num_masks = jnp.sum(target_valid.astype(jnp.float32))
+    if axis_name is not None:
+        num_masks = jax.lax.pmean(num_masks, axis_name)
+    num_masks = jnp.maximum(num_masks, 1.0)
+
+    layers = list(zip(outputs.aux_class_logits, outputs.aux_mask_logits)) + [
+        (outputs.class_queries_logits, outputs.masks_queries_logits)
+    ]
+    weights = {
+        "loss_cross_entropy": cfg.class_weight,
+        "loss_mask": cfg.mask_weight,
+        "loss_dice": cfg.dice_weight,
+    }
+    rngs = jax.random.split(rng, len(layers))
+    loss_dict: dict[str, jnp.ndarray] = {}
+    total = 0.0
+    for li, (cl, ml) in enumerate(layers):
+        if not cfg.use_auxiliary_loss and li < len(layers) - 1:
+            continue
+        ld = layer_losses(cfg, cl, ml, target_masks, target_classes, target_valid, rngs[li], num_masks)
+        suffix = "" if li == len(layers) - 1 else f"_{li}"
+        for k, v in ld.items():
+            wv = v * weights[k]
+            loss_dict[k + suffix] = wv
+            total = total + wv
+    return total, loss_dict

@@ -1,0 +1,96 @@
+"""Argument schema + config parsing.
+
+Mirrors the reference's CLI surface (reference: arguments.py:5-115 dataclass +
+finetuning.py:43-49 single-JSON-or-flags parsing via HfArgumentParser): a data/
+model `Arguments` block plus a `TrainingArguments` block, parseable from one
+JSON file or command-line flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Arguments:
+    # data
+    root_path: str = "."
+    train_json_path: str = "train.json"
+    valid_json_path: str = "valid.json"
+    label2id_path: str = "label2id.json"
+    image_height: int = 256
+    image_width: int = 256
+    do_reduce_labels: bool = False
+    ignore_index: Optional[int] = None
+    max_instances: int = 20
+    # model
+    model_name_or_path: Optional[str] = None  # optional checkpoint to load
+    version: str = "0.0.0"
+    # export (reference: arguments.py pred/gt JSON export paths)
+    prediction_json_path: Optional[str] = None
+    gt_json_path: Optional[str] = None
+    comparison_output_dir: Optional[str] = None
+
+
+@dataclasses.dataclass
+class TrainingArguments:
+    output_dir: str = "output"
+    num_train_epochs: float = 1.0
+    per_device_train_batch_size: int = 1
+    per_device_eval_batch_size: int = 1
+    learning_rate: float = 1e-5
+    weight_decay: float = 0.0
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_epsilon: float = 1e-8
+    max_grad_norm: float = 1.0  # HF Trainer default clip
+    warmup_ratio: float = 0.0
+    seed: int = 42
+    logging_strategy: str = "epoch"
+    eval_strategy: str = "epoch"
+    save_strategy: str = "epoch"
+    save_total_limit: Optional[int] = 2
+    do_train: bool = True
+    do_eval: bool = True
+    bf16: bool = False  # bf16 activations policy
+    matmul_precision: str = "float32"  # float32 | bfloat16_3x | bfloat16
+    dataloader_num_workers: int = 4
+    resume_from_checkpoint: Optional[str] = None
+    overwrite_output_dir: bool = False
+    num_devices: Optional[int] = None  # data-parallel devices (default: all)
+
+
+def _add_fields(parser: argparse.ArgumentParser, dc) -> None:
+    for f in dataclasses.fields(dc):
+        name = "--" + f.name
+        if f.type in ("bool", bool):
+            parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"), default=f.default)
+        else:
+            t = {int: int, float: float, str: str}.get(f.type, None)
+            if t is None:
+                t = str if "str" in str(f.type) else (float if "float" in str(f.type) else (int if "int" in str(f.type) else str))
+            parser.add_argument(name, type=t, default=f.default)
+
+
+def parse_args(argv: Optional[list[str]] = None) -> tuple[Arguments, TrainingArguments]:
+    """`prog config.json` or `prog --flag value ...` (finetuning.py:43-49 parity)."""
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if len(argv) == 1 and argv[0].endswith(".json"):
+        with open(argv[0]) as f:
+            raw = json.load(f)
+        a_kwargs = {f.name: raw[f.name] for f in dataclasses.fields(Arguments) if f.name in raw}
+        t_kwargs = {f.name: raw[f.name] for f in dataclasses.fields(TrainingArguments) if f.name in raw}
+        return Arguments(**a_kwargs), TrainingArguments(**t_kwargs)
+
+    parser = argparse.ArgumentParser()
+    _add_fields(parser, Arguments)
+    _add_fields(parser, TrainingArguments)
+    ns = vars(parser.parse_args(argv))
+    a = Arguments(**{f.name: ns[f.name] for f in dataclasses.fields(Arguments)})
+    t = TrainingArguments(**{f.name: ns[f.name] for f in dataclasses.fields(TrainingArguments)})
+    return a, t

@@ -1,0 +1,54 @@
+"""Orbax checkpointing with the reference's resume semantics.
+
+Mirrors find_last_checkpoint (reference: model_essential_part.py:160-179):
+auto-resume from the newest `checkpoint-*` in output_dir; refuse to train into
+a non-empty output_dir that holds no checkpoints unless overwrite is allowed.
+Saves params / opt_state / batch_stats / step; prunes to save_total_limit.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Any, Optional
+
+import orbax.checkpoint as ocp
+
+_CKPT_RE = re.compile(r"^checkpoint-(\d+)$")
+
+
+def find_last_checkpoint(output_dir: str, overwrite: bool = False) -> Optional[str]:
+    if not os.path.isdir(output_dir):
+        return None
+    entries = [e for e in os.listdir(output_dir) if _CKPT_RE.match(e)]
+    if not entries:
+        visible = [e for e in os.listdir(output_dir) if not e.startswith(".")]
+        if visible and not overwrite:
+            raise ValueError(
+                f"Output directory ({output_dir}) exists, is not empty and has no "
+                "checkpoint; set overwrite_output_dir to train from scratch."
+            )
+        return None
+    last = max(entries, key=lambda e: int(_CKPT_RE.match(e).group(1)))
+    return os.path.join(output_dir, last)
+
+
+def save_checkpoint(output_dir: str, step: int, state: dict, save_total_limit: Optional[int] = None) -> str:
+    path = os.path.abspath(os.path.join(output_dir, f"checkpoint-{step}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    if save_total_limit:
+        entries = sorted(
+            (e for e in os.listdir(output_dir) if _CKPT_RE.match(e)),
+            key=lambda e: int(_CKPT_RE.match(e).group(1)),
+        )
+        for e in entries[:-save_total_limit]:
+            shutil.rmtree(os.path.join(output_dir, e), ignore_errors=True)
+    return path
+
+
+def load_checkpoint(path: str, template: dict) -> dict:
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), template)

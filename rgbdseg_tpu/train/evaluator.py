@@ -1,0 +1,72 @@
+"""Streaming evaluator: instance post-processing + per-class mask mAP.
+
+Parity target: the reference Evaluator (model_essential_part.py:31-157):
+- predictions post-processed with threshold=0.0, return_binary_maps=True at the
+  original target sizes
+- ground truth taken from the batch's padded (mask_labels, class_labels)
+- per-class map/mar flattened into `map_<classname>` keys
+- metric resets after each compute
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..inference.postprocess import post_process_instance_segmentation
+from .map_metric import MeanAveragePrecision
+
+
+class Evaluator:
+    def __init__(self, id2label: dict[int, str], threshold: float = 0.0):
+        self.id2label = id2label
+        self.threshold = threshold
+        self.metric = MeanAveragePrecision(class_metrics=True)
+
+    def update(self, class_logits, mask_logits, batch, target_sizes=None):
+        b = batch.pixel_values.shape[0]
+        if target_sizes is None:
+            target_sizes = [batch.pixel_values.shape[1:3]] * b
+        results = post_process_instance_segmentation(
+            class_logits,
+            mask_logits,
+            threshold=self.threshold,
+            target_sizes=target_sizes,
+            return_binary_maps=True,
+        )
+        preds, targets = [], []
+        for i, res in enumerate(results):
+            seg = res["segmentation"]
+            info = res["segments_info"]
+            preds.append(
+                {
+                    "scores": np.asarray([s["score"] for s in info], np.float32),
+                    "labels": np.asarray([s["label_id"] for s in info], np.int64),
+                    "masks": seg.astype(bool),
+                }
+            )
+            valid = batch.valid[i]
+            th, tw = target_sizes[i]
+            gt_masks = batch.mask_labels[i][valid].astype(bool)
+            if gt_masks.shape[1:] != (th, tw):
+                from ..inference.postprocess import _resize_nearest_np
+
+                gt_masks = _resize_nearest_np(gt_masks.astype(np.float32), (th, tw)).astype(bool)
+            targets.append(
+                {"labels": batch.class_labels[i][valid].astype(np.int64), "masks": gt_masks}
+            )
+        self.metric.update(preds, targets)
+
+    def compute(self, prefix: str = "") -> dict[str, float]:
+        out = self.metric.compute()
+        metrics: dict[str, float] = {}
+        classes = out.pop("classes", [])
+        map_pc = out.pop("map_per_class", [])
+        mar_pc = out.pop("mar_100_per_class", [])
+        for k, v in out.items():
+            metrics[prefix + k] = float(v)
+        for c, m, r in zip(classes, map_pc, mar_pc):
+            name = self.id2label.get(int(c), str(int(c)))
+            metrics[f"{prefix}map_{name}"] = float(m)
+            metrics[f"{prefix}mar_100_{name}"] = float(r)
+        self.metric.reset()
+        return metrics

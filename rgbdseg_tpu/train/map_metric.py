@@ -1,0 +1,214 @@
+"""COCO-style mask mAP (iou_type="segm"), pure numpy.
+
+Replaces the reference's torchmetrics MeanAveragePrecision(iou_type="segm",
+class_metrics=True) (reference: model_essential_part.py:56-58) with a
+self-contained implementation of the COCOeval protocol: 10 IoU thresholds
+0.50:0.05:0.95, 101-point interpolated precision, area ranges
+all/small/medium/large, maxDets (1, 10, 100), per-class metrics.
+
+API mirrors the streaming metric: `update(preds, targets)` per batch with
+ preds:   [{"scores": (N,), "labels": (N,), "masks": (N, H, W) bool}]
+ targets: [{"labels": (M,), "masks": (M, H, W) bool}]
+then `compute()` -> dict of floats (+ per-class arrays).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+IOU_THRS = np.round(np.arange(0.5, 1.0, 0.05), 2)
+REC_THRS = np.linspace(0.0, 1.0, 101)
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0**2),
+    "medium": (32.0**2, 96.0**2),
+    "large": (96.0**2, 1e10),
+}
+MAX_DETS = (1, 10, 100)
+
+
+def mask_iou(dets: np.ndarray, gts: np.ndarray) -> np.ndarray:
+    """(N, H, W) bool x (M, H, W) bool -> (N, M) IoU."""
+    if dets.shape[0] == 0 or gts.shape[0] == 0:
+        return np.zeros((dets.shape[0], gts.shape[0]), np.float64)
+    d = dets.reshape(dets.shape[0], -1).astype(np.float64)
+    g = gts.reshape(gts.shape[0], -1).astype(np.float64)
+    inter = d @ g.T
+    union = d.sum(1)[:, None] + g.sum(1)[None, :] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+
+
+class MeanAveragePrecision:
+    def __init__(self, class_metrics: bool = True):
+        self.class_metrics = class_metrics
+        self.reset()
+
+    def reset(self):
+        self._images = []  # list of (preds, targets) per image
+
+    def update(self, preds: list[dict], targets: list[dict]):
+        for p, t in zip(preds, targets):
+            self._images.append(
+                (
+                    {
+                        "scores": np.asarray(p["scores"], np.float64),
+                        "labels": np.asarray(p["labels"], np.int64),
+                        "masks": np.asarray(p["masks"], bool),
+                    },
+                    {
+                        "labels": np.asarray(t["labels"], np.int64),
+                        "masks": np.asarray(t["masks"], bool),
+                    },
+                )
+            )
+
+    # ------------------------------------------------------------------
+    def _evaluate_image(self, pred, tgt, cls, area_rng, max_det):
+        """COCOeval evaluateImg: returns (dt_matches (T, D), dt_scores (D,),
+        dt_ignore (T, D), gt_count) for one image/class/area."""
+        sel_d = pred["labels"] == cls
+        sel_g = tgt["labels"] == cls
+        scores = pred["scores"][sel_d]
+        order = np.argsort(-scores, kind="mergesort")[:max_det]
+        dmasks = pred["masks"][sel_d][order]
+        scores = scores[order]
+        gmasks = tgt["masks"][sel_g]
+
+        garea = gmasks.reshape(gmasks.shape[0], -1).sum(1).astype(np.float64)
+        gt_ignore = (garea < area_rng[0]) | (garea > area_rng[1])
+        # sort gts: non-ignored first (COCO convention)
+        gorder = np.argsort(gt_ignore, kind="mergesort")
+        gmasks = gmasks[gorder]
+        gt_ignore = gt_ignore[gorder]
+
+        ious = mask_iou(dmasks, gmasks)
+        nd, ng = dmasks.shape[0], gmasks.shape[0]
+        nt = len(IOU_THRS)
+        dt_m = -np.ones((nt, nd), np.int64)
+        gt_m = -np.ones((nt, ng), np.int64)
+        for ti, thr in enumerate(IOU_THRS):
+            for di in range(nd):
+                best_iou = min(thr, 1 - 1e-10)
+                best = -1
+                for gi in range(ng):
+                    if gt_m[ti, gi] >= 0:
+                        continue
+                    # stop at ignored gts once a real match was found
+                    if best > -1 and not gt_ignore[best] and gt_ignore[gi]:
+                        break
+                    if ious[di, gi] < best_iou:
+                        continue
+                    best_iou = ious[di, gi]
+                    best = gi
+                if best >= 0:
+                    dt_m[ti, di] = best
+                    gt_m[ti, best] = di
+        darea = dmasks.reshape(nd, -1).sum(1).astype(np.float64)
+        d_out = (darea < area_rng[0]) | (darea > area_rng[1])
+        dt_ignore = np.zeros((nt, nd), bool)
+        for ti in range(nt):
+            matched = dt_m[ti] >= 0
+            ig = np.zeros(nd, bool)
+            ig[matched] = gt_ignore[dt_m[ti][matched]]
+            ig[~matched] = d_out[~matched]
+            dt_ignore[ti] = ig
+        return dt_m >= 0, scores, dt_ignore, int((~gt_ignore).sum())
+
+    def _accumulate_class(self, cls):
+        """Returns dict area -> maxdet -> (precision (T, 101), recall (T,))."""
+        out = {}
+        for aname, arng in AREA_RANGES.items():
+            out[aname] = {}
+            for max_det in MAX_DETS:
+                matches, scores, ignores, npig = [], [], [], 0
+                for pred, tgt in self._images:
+                    m, s, ig, ng = self._evaluate_image(pred, tgt, cls, arng, max_det)
+                    matches.append(m)
+                    scores.append(s)
+                    ignores.append(ig)
+                    npig += ng
+                if npig == 0:
+                    out[aname][max_det] = None
+                    continue
+                scores = np.concatenate(scores)
+                order = np.argsort(-scores, kind="mergesort")
+                matches = np.concatenate(matches, axis=1)[:, order]
+                ignores = np.concatenate(ignores, axis=1)[:, order]
+                tps = matches & ~ignores
+                fps = ~matches & ~ignores
+                tp_sum = np.cumsum(tps, axis=1).astype(np.float64)
+                fp_sum = np.cumsum(fps, axis=1).astype(np.float64)
+                nt = len(IOU_THRS)
+                precision = np.zeros((nt, len(REC_THRS)))
+                recall = np.zeros((nt,))
+                for ti in range(nt):
+                    tp, fp = tp_sum[ti], fp_sum[ti]
+                    rc = tp / npig
+                    pr = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
+                    recall[ti] = rc[-1] if len(rc) else 0.0
+                    # precision envelope
+                    pr = pr.tolist()
+                    for i in range(len(pr) - 1, 0, -1):
+                        if pr[i] > pr[i - 1]:
+                            pr[i - 1] = pr[i]
+                    inds = np.searchsorted(rc, REC_THRS, side="left")
+                    q = np.zeros(len(REC_THRS))
+                    for ri, pi in enumerate(inds):
+                        if pi < len(pr):
+                            q[ri] = pr[pi]
+                    precision[ti] = q
+                out[aname][max_det] = (precision, recall)
+        return out
+
+    def compute(self) -> dict:
+        classes = sorted(
+            set(
+                int(c)
+                for _, tgt in self._images
+                for c in tgt["labels"]
+            )
+        )
+        per_class = {c: self._accumulate_class(c) for c in classes}
+
+        def mean_ap(area, max_det, iou=None, cls=None):
+            vals = []
+            for c in classes if cls is None else [cls]:
+                acc = per_class[c][area][max_det]
+                if acc is None:
+                    continue
+                p = acc[0]
+                if iou is not None:
+                    ti = int(np.where(np.isclose(IOU_THRS, iou))[0][0])
+                    p = p[ti : ti + 1]
+                v = p[p > -1]
+                vals.append(np.mean(p) if p.size else np.nan)
+            return float(np.mean(vals)) if vals else -1.0
+
+        def mean_ar(area, max_det, cls=None):
+            vals = []
+            for c in classes if cls is None else [cls]:
+                acc = per_class[c][area][max_det]
+                if acc is None:
+                    continue
+                vals.append(np.mean(acc[1]))
+            return float(np.mean(vals)) if vals else -1.0
+
+        result = {
+            "map": mean_ap("all", 100),
+            "map_50": mean_ap("all", 100, iou=0.5),
+            "map_75": mean_ap("all", 100, iou=0.75),
+            "map_small": mean_ap("small", 100),
+            "map_medium": mean_ap("medium", 100),
+            "map_large": mean_ap("large", 100),
+            "mar_1": mean_ar("all", 1),
+            "mar_10": mean_ar("all", 10),
+            "mar_100": mean_ar("all", 100),
+            "mar_small": mean_ar("small", 100),
+            "mar_medium": mean_ar("medium", 100),
+            "mar_large": mean_ar("large", 100),
+        }
+        if self.class_metrics:
+            result["classes"] = classes
+            result["map_per_class"] = [mean_ap("all", 100, cls=c) for c in classes]
+            result["mar_100_per_class"] = [mean_ar("all", 100, cls=c) for c in classes]
+        return result

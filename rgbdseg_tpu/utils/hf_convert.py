@@ -1,0 +1,163 @@
+"""Convert HF-Transformers Mask2Former weights (the reference's runtime,
+custom_model.py:10-13) into this framework's parameter pytree.
+
+Used for (a) numerical-parity tests against the reference stack with random
+weights, and (b) loading any reference-trained checkpoint (safetensors) into
+the TPU model. Only depends on numpy + a state_dict-like mapping
+{name: np.ndarray}; torch is not imported here.
+
+Layout conversions: conv OIHW -> HWIO; dense (out,in) -> (in,out);
+torch nn.MultiheadAttention in_proj -> split q/k/v.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _dense(sd, prefix):
+    return {"kernel": sd[prefix + ".weight"].T, "bias": sd[prefix + ".bias"]}
+
+
+def _dense_nb(sd, prefix):
+    return {"kernel": sd[prefix + ".weight"].T}
+
+
+def _conv(sd, prefix, bias=True):
+    out = {"kernel": sd[prefix + ".weight"].transpose(2, 3, 1, 0)}
+    if bias:
+        out["bias"] = sd[prefix + ".bias"]
+    return out
+
+
+def _ln(sd, prefix):
+    return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+
+def convert_swin_backbone(sd: dict, prefix: str, depths) -> dict:
+    """HF SwinBackbone state_dict subtree -> SwinBackbone flax params."""
+    p = {}
+    p["patch_embed"] = _conv(sd, f"{prefix}.embeddings.patch_embeddings.projection")
+    p["patch_norm"] = _ln(sd, f"{prefix}.embeddings.norm")
+    for s, depth in enumerate(depths):
+        for b in range(depth):
+            bp = f"{prefix}.encoder.layers.{s}.blocks.{b}"
+            blk = {
+                "norm1": _ln(sd, f"{bp}.layernorm_before"),
+                "norm2": _ln(sd, f"{bp}.layernorm_after"),
+                "attention": {
+                    "query": _dense(sd, f"{bp}.attention.self.query"),
+                    "key": _dense(sd, f"{bp}.attention.self.key"),
+                    "value": _dense(sd, f"{bp}.attention.self.value"),
+                    "proj": _dense(sd, f"{bp}.attention.output.dense"),
+                    "relative_position_bias_table": sd[
+                        f"{bp}.attention.self.relative_position_bias_table"
+                    ],
+                },
+                "mlp_fc1": _dense(sd, f"{bp}.intermediate.dense"),
+                "mlp_fc2": _dense(sd, f"{bp}.output.dense"),
+            }
+            p[f"stage{s}_block{b}"] = blk
+        if s < len(depths) - 1:
+            dp = f"{prefix}.encoder.layers.{s}.downsample"
+            p[f"downsample{s}"] = {
+                "norm": _ln(sd, f"{dp}.norm"),
+                "reduction": _dense_nb(sd, f"{dp}.reduction"),
+            }
+        p[f"out_norm{s}"] = _ln(sd, f"{prefix}.hidden_states_norms.stage{s + 1}")
+    return p
+
+
+def convert_pixel_decoder(sd: dict, prefix: str, encoder_layers: int, num_fpn: int = 1) -> dict:
+    p = {"level_embed": sd[f"{prefix}.level_embed"]}
+    for i in range(3):
+        p[f"input_proj{i}_conv"] = _conv(sd, f"{prefix}.input_projections.{i}.0")
+        gn = f"{prefix}.input_projections.{i}.1"
+        p[f"input_proj{i}_norm"] = {"scale": sd[gn + ".weight"], "bias": sd[gn + ".bias"]}
+    for li in range(encoder_layers):
+        lp = f"{prefix}.encoder.layers.{li}"
+        p[f"layer{li}"] = {
+            "self_attn": {
+                "sampling_offsets": _dense(sd, f"{lp}.self_attn.sampling_offsets"),
+                "attention_weights": _dense(sd, f"{lp}.self_attn.attention_weights"),
+                "value_proj": _dense(sd, f"{lp}.self_attn.value_proj"),
+                "output_proj": _dense(sd, f"{lp}.self_attn.output_proj"),
+            },
+            "self_attn_layer_norm": _ln(sd, f"{lp}.self_attn_layer_norm"),
+            "fc1": _dense(sd, f"{lp}.fc1"),
+            "fc2": _dense(sd, f"{lp}.fc2"),
+            "final_layer_norm": _ln(sd, f"{lp}.final_layer_norm"),
+        }
+    for i in range(num_fpn):
+        ap = f"{prefix}.adapter_{i + 1}"
+        p[f"adapter{i}_conv"] = _conv(sd, f"{ap}.0", bias=False)
+        p[f"adapter{i}_norm"] = {"scale": sd[f"{ap}.1.weight"], "bias": sd[f"{ap}.1.bias"]}
+        op = f"{prefix}.layer_{i + 1}"
+        p[f"fpn{i}_conv"] = _conv(sd, f"{op}.0", bias=False)
+        p[f"fpn{i}_norm"] = {"scale": sd[f"{op}.1.weight"], "bias": sd[f"{op}.1.bias"]}
+    p["mask_projection"] = _conv(sd, f"{prefix}.mask_projection")
+    return p
+
+
+def _mha_from_torch(sd: dict, prefix: str, d: int) -> dict:
+    """torch nn.MultiheadAttention -> q/k/v/out projections."""
+    w = sd[f"{prefix}.in_proj_weight"]
+    b = sd[f"{prefix}.in_proj_bias"]
+    return {
+        "q_proj": {"kernel": w[:d].T, "bias": b[:d]},
+        "k_proj": {"kernel": w[d : 2 * d].T, "bias": b[d : 2 * d]},
+        "v_proj": {"kernel": w[2 * d :].T, "bias": b[2 * d :]},
+        "out_proj": _dense(sd, f"{prefix}.out_proj"),
+    }
+
+
+def convert_transformer_module(sd: dict, prefix: str, decoder_layers: int, hidden_dim: int) -> dict:
+    p = {
+        "queries_embedder": sd[f"{prefix}.queries_embedder.weight"],
+        "queries_features": sd[f"{prefix}.queries_features.weight"],
+        "level_embed": sd[f"{prefix}.level_embed.weight"],
+        "decoder_layernorm": _ln(sd, f"{prefix}.decoder.layernorm"),
+        "mask_predictor": {
+            f"mask_embedder{i}": _dense(sd, f"{prefix}.decoder.mask_predictor.mask_embedder.{i}.0")
+            for i in range(3)
+        },
+    }
+    for li in range(decoder_layers - 1):
+        lp = f"{prefix}.decoder.layers.{li}"
+        p[f"layer{li}"] = {
+            "cross_attn": _mha_from_torch(sd, f"{lp}.cross_attn", hidden_dim),
+            "cross_attn_layer_norm": _ln(sd, f"{lp}.cross_attn_layer_norm"),
+            "self_attn": {
+                "q_proj": _dense(sd, f"{lp}.self_attn.q_proj"),
+                "k_proj": _dense(sd, f"{lp}.self_attn.k_proj"),
+                "v_proj": _dense(sd, f"{lp}.self_attn.v_proj"),
+                "out_proj": _dense(sd, f"{lp}.self_attn.out_proj"),
+            },
+            "self_attn_layer_norm": _ln(sd, f"{lp}.self_attn_layer_norm"),
+            "fc1": _dense(sd, f"{lp}.fc1"),
+            "fc2": _dense(sd, f"{lp}.fc2"),
+            "final_layer_norm": _ln(sd, f"{lp}.final_layer_norm"),
+        }
+    return p
+
+
+def convert_mask2former(state_dict: dict, cfg) -> dict:
+    """Full HF Mask2FormerForUniversalSegmentation state_dict -> flax params."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params = {
+        "pixel_level_module": {
+            "encoder": convert_swin_backbone(
+                sd, "model.pixel_level_module.encoder", cfg.backbone.depths
+            ),
+            "pixel_decoder": convert_pixel_decoder(
+                sd, "model.pixel_level_module.decoder", cfg.encoder_layers
+            ),
+        },
+        "transformer_module": {
+            **convert_transformer_module(
+                sd, "model.transformer_module", cfg.decoder_layers, cfg.hidden_dim
+            ),
+            "class_predictor": _dense(sd, "class_predictor"),
+        },
+    }
+    return params

@@ -7,3 +7,9 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# This JAX build's DEFAULT matmul/conv precision loses ~1e-3 accuracy even on
+# CPU; numerics/parity tests need true f32 accumulation.
+jax.config.update("jax_default_matmul_precision", "float32")

@@ -1,0 +1,120 @@
+"""Numerical parity vs the reference runtime (HF Transformers Mask2Former).
+
+Mirrors the reference's refactor-equivalence methodology (SURVEY.md §4.1,
+architecture_change.md:100-178): instantiate the HF model with random weights,
+convert them into this framework, and require identical outputs within fp32
+tolerance. This validates the Swin backbone, deformable-attention pixel
+decoder, masked-attention transformer decoder, and prediction heads end to end.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax
+import jax.numpy as jnp
+
+from rgbdseg_tpu.config import ModelConfig, SwinConfig
+from rgbdseg_tpu.models.mask2former import Mask2FormerRGBD
+from rgbdseg_tpu.models.swin import SwinBackbone
+from rgbdseg_tpu.utils import hf_convert
+
+
+def _hf_small_config():
+    from transformers import Mask2FormerConfig, SwinConfig as HFSwin
+
+    backbone = HFSwin(
+        image_size=64,
+        patch_size=4,
+        embed_dim=32,
+        depths=[1, 1, 2, 1],
+        num_heads=[2, 2, 4, 4],
+        window_size=7,
+        drop_path_rate=0.0,
+        out_features=["stage1", "stage2", "stage3", "stage4"],
+    )
+    return Mask2FormerConfig(
+        backbone_config=backbone,
+        feature_size=64,
+        mask_feature_size=64,
+        hidden_dim=64,
+        encoder_layers=2,
+        encoder_feedforward_dim=64,
+        decoder_layers=4,
+        num_attention_heads=4,
+        dim_feedforward=64,
+        num_queries=10,
+        num_labels=3,
+        dropout=0.0,
+    )
+
+
+def _my_config():
+    return ModelConfig(
+        backbone=SwinConfig(embed_dim=32, depths=(1, 1, 2, 1), num_heads=(2, 2, 4, 4), drop_path_rate=0.0),
+        num_labels=3,
+        feature_size=64,
+        mask_feature_size=64,
+        hidden_dim=64,
+        encoder_layers=2,
+        encoder_feedforward_dim=64,
+        decoder_layers=4,
+        num_attention_heads=4,
+        dim_feedforward=64,
+        num_queries=10,
+        version="0.0.0",
+    )
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    from transformers import Mask2FormerForUniversalSegmentation
+
+    torch.manual_seed(0)
+    model = Mask2FormerForUniversalSegmentation(_hf_small_config())
+    model.eval()
+    return model
+
+
+def test_swin_backbone_parity(hf_model):
+    sd = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}
+    cfg = _my_config()
+    params = hf_convert.convert_swin_backbone(sd, "model.pixel_level_module.encoder", cfg.backbone.depths)
+
+    x = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = hf_model.model.pixel_level_module.encoder(torch.from_numpy(x).permute(0, 3, 1, 2)).feature_maps
+
+    mine = SwinBackbone(cfg.backbone).apply({"params": params}, jnp.asarray(x))
+    assert len(mine) == 4
+    for i, (m, r) in enumerate(zip(mine, ref)):
+        r = r.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(m), r, rtol=1e-4, atol=1e-4, err_msg=f"stage {i}")
+
+
+def test_full_model_parity(hf_model):
+    sd = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}
+    cfg = _my_config()
+    params = hf_convert.convert_mask2former(sd, cfg)
+
+    x = np.random.RandomState(1).rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = hf_model(torch.from_numpy(x).permute(0, 3, 1, 2))
+
+    model = Mask2FormerRGBD(cfg)
+    out = model.apply({"params": params}, jnp.asarray(x))
+
+    np.testing.assert_allclose(
+        np.asarray(out.class_queries_logits),
+        ref.class_queries_logits.numpy(),
+        rtol=1e-3,
+        atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.masks_queries_logits),
+        ref.masks_queries_logits.numpy(),
+        rtol=1e-3,
+        atol=2e-3,
+    )

@@ -1,0 +1,75 @@
+"""Model forward smoke tests across all registry versions + loss/grad checks.
+
+Mirrors the reference's shape-contract characterization (SURVEY.md §4.4,
+architecture_change.md:37-64) on a tiny config.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rgbdseg_tpu.config import ModelConfig
+from rgbdseg_tpu import versions as V
+from rgbdseg_tpu.models.mask2former import Mask2FormerRGBD
+from rgbdseg_tpu.ops.losses import mask2former_loss
+
+HW = 64
+
+
+def _make(version):
+    cfg = ModelConfig.tiny(num_labels=2, version=version)
+    model = Mask2FormerRGBD(cfg)
+    ch = V.get(version).channels.total
+    x = jnp.asarray(np.random.RandomState(0).rand(2, HW, HW, ch), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    return cfg, model, x, variables
+
+
+@pytest.mark.parametrize("version", sorted(V.REGISTRY))
+def test_forward_shapes_all_versions(version):
+    cfg, model, x, variables = _make(version)
+    out = model.apply(variables, x)
+    q, l = cfg.num_queries, cfg.num_labels
+    assert out.class_queries_logits.shape == (2, q, l + 1)
+    assert out.masks_queries_logits.shape == (2, q, HW // 4, HW // 4)
+    assert len(out.aux_class_logits) == cfg.decoder_layers - 1
+    assert np.isfinite(np.asarray(out.class_queries_logits)).all()
+    assert np.isfinite(np.asarray(out.masks_queries_logits)).all()
+
+
+def _targets(b=2, t=5, hw=HW):
+    rng = np.random.RandomState(1)
+    masks = (rng.rand(b, t, hw, hw) > 0.7).astype(np.float32)
+    classes = rng.randint(0, 2, size=(b, t)).astype(np.int32)
+    valid = np.zeros((b, t), bool)
+    valid[0, :3] = True
+    valid[1, :1] = True
+    return jnp.asarray(masks), jnp.asarray(classes), jnp.asarray(valid)
+
+
+def test_loss_and_gradients():
+    cfg, model, x, variables = _make("0.0.0")
+    masks, classes, valid = _targets()
+
+    def loss_fn(params):
+        out = model.apply({"params": params}, x)
+        total, ld = mask2former_loss(cfg, out, masks, classes, valid, jax.random.PRNGKey(7))
+        return total, ld
+
+    (total, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
+    assert np.isfinite(float(total))
+    # final + (decoder_layers - 1) aux layers, 3 losses each
+    assert len(ld) == 3 * cfg.decoder_layers
+    gnorm = sum(float(jnp.sum(g**2)) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_loss_deterministic_given_key():
+    cfg, model, x, variables = _make("0.0.0")
+    masks, classes, valid = _targets()
+    out = model.apply(variables, x)
+    t1, _ = mask2former_loss(cfg, out, masks, classes, valid, jax.random.PRNGKey(3))
+    t2, _ = mask2former_loss(cfg, out, masks, classes, valid, jax.random.PRNGKey(3))
+    assert float(t1) == float(t2)
