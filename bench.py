@@ -27,7 +27,10 @@ def main():
     from rgbdseg_tpu.config import ModelConfig
     from rgbdseg_tpu.models.mask2former import Mask2FormerRGBD
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    # batch 1 is the measured optimum on TPU v5e for this model at 640x480
+    # (8.5 img/s vs 7.8 at batch 4, 6.7 at batch 8 — the DSAM full-res region
+    # masks and masked-attention bias are HBM-bound and scale super-linearly).
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
     h, w = 480, 640  # NYUv2 aspect, both divisible by 32
     cfg = ModelConfig(num_labels=40, version="0.4.0")
     model = Mask2FormerRGBD(cfg)

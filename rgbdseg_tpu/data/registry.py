@@ -195,7 +195,8 @@ def map_30channel(example, cfg: PreprocessConfig):
     imgs = [np.asarray(_load_image(p).convert("RGB")) for p in example["image"]]
     color = process_image(imgs[0], cfg)
     depth = process_image(imgs[1], cfg)
-    aug = np.stack(imgs[2:10]).astype(np.float32)
+    aug = np.stack(imgs[2:10])  # uint8; CSF returns the input dtype like the
+    # reference (data_process.py:919 casts back to the original dtype)
     fused = np.asarray(csf_fuse(jnp.asarray(aug)))
     fused_p = process_image(fused, cfg)
     masks, labels = _labels(instance_map, mapping, cfg)

@@ -25,6 +25,23 @@ from ..ops.resize import grid_sample_bilinear, resize_bilinear
 from .position import sine_position_embedding
 
 
+def _offset_bias_init(num_heads: int, n_levels: int, n_points: int):
+    """HF/DeformableDETR sampling-offsets bias init: per-head unit directions
+    scaled by point index (modeling_deformable_detr _reset_parameters parity);
+    the kernel is zero-initialized so initial sampling follows this grid."""
+
+    def init(key, shape, dtype=jnp.float32):
+        thetas = np.arange(num_heads, dtype=np.float64) * (2.0 * np.pi / num_heads)
+        grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)  # (H, 2)
+        grid = grid / np.abs(grid).max(-1, keepdims=True)
+        grid = np.tile(grid[:, None, None, :], (1, n_levels, n_points, 1))
+        for i in range(n_points):
+            grid[:, :, i, :] *= i + 1
+        return jnp.asarray(grid.reshape(-1), dtype)
+
+    return init
+
+
 class DeformableAttention(nn.Module):
     """Multi-scale deformable self-attention (n_levels levels, n_points points)."""
 
@@ -41,12 +58,17 @@ class DeformableAttention(nn.Module):
         b, l, _ = hidden_states.shape
 
         with_pos = hidden_states + position_embeddings
-        value = nn.Dense(d, name="value_proj")(hidden_states)
+        value = nn.Dense(d, kernel_init=nn.initializers.xavier_uniform(), name="value_proj")(hidden_states)
         value = value.reshape(b, l, nh, hd)
 
-        offsets = nn.Dense(nh * nl * npts * 2, name="sampling_offsets")(with_pos)
+        offsets = nn.Dense(
+            nh * nl * npts * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=_offset_bias_init(nh, nl, npts),
+            name="sampling_offsets",
+        )(with_pos)
         offsets = offsets.reshape(b, l, nh, nl, npts, 2)
-        weights = nn.Dense(nh * nl * npts, name="attention_weights")(with_pos)
+        weights = nn.Dense(nh * nl * npts, kernel_init=nn.initializers.zeros, name="attention_weights")(with_pos)
         weights = jax.nn.softmax(weights.reshape(b, l, nh, nl * npts), axis=-1)
         weights = weights.reshape(b, l, nh, nl, npts)
 
@@ -72,7 +94,7 @@ class DeformableAttention(nn.Module):
         sampled = jnp.stack(sampled_all, axis=3)  # (B, nh, L, nl, P, hd)
         out = jnp.einsum("bhlnp,bhlnpd->blhd", weights.transpose(0, 2, 1, 3, 4), sampled)
         out = out.reshape(b, l, d)
-        return nn.Dense(d, name="output_proj")(out)
+        return nn.Dense(d, kernel_init=nn.initializers.xavier_uniform(), name="output_proj")(out)
 
 
 class EncoderLayer(nn.Module):
@@ -90,12 +112,15 @@ class EncoderLayer(nn.Module):
         return x
 
 
-def reference_points_for_shapes(spatial_shapes) -> jnp.ndarray:
-    """(L_total, 2) normalized (x, y) half-pixel reference points (valid ratios = 1)."""
+def reference_points_for_shapes(spatial_shapes, zero=0.0) -> jnp.ndarray:
+    """(L_total, 2) normalized (x, y) half-pixel reference points (valid ratios = 1).
+
+    `zero`: traced scalar so the points are computed in-graph (see position.py).
+    """
     pts = []
     for h, w in spatial_shapes:
-        ry = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
-        rx = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+        ry = (jnp.arange(h, dtype=jnp.float32) + 0.5 + zero) / h
+        rx = (jnp.arange(w, dtype=jnp.float32) + 0.5 + zero) / w
         gy, gx = jnp.meshgrid(ry, rx, indexing="ij")
         pts.append(jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1))
     return jnp.concatenate(pts, axis=0)
@@ -121,13 +146,14 @@ class PixelDecoder(nn.Module):
             x = nn.GroupNorm(num_groups=32, name=f"input_proj{i}_norm")(x)
             b, h, w, _ = x.shape
             embeds.append(x.reshape(b, h * w, d))
-            pos = sine_position_embedding(h, w, d // 2)
+            # traced zero: keeps the (H, W, d) embedding in-graph, not a literal
+            pos = sine_position_embedding(h, w, d // 2, zero=x.ravel()[0] * 0)
             poses.append(pos.reshape(1, h * w, d) + level_embed[i][None, None])
             shapes.append((h, w))
 
         x = jnp.concatenate(embeds, axis=1)
         pos = jnp.concatenate(poses, axis=1)
-        ref = reference_points_for_shapes(shapes)[None, :, None, :].repeat(nl, 2)
+        ref = reference_points_for_shapes(shapes, zero=x.ravel()[0] * 0)[None, :, None, :].repeat(nl, 2)
 
         for li in range(cfg.encoder_layers):
             x = EncoderLayer(cfg, name=f"layer{li}")(x, pos, ref, shapes)

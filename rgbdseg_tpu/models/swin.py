@@ -67,17 +67,24 @@ def _relative_position_index(ws: int) -> np.ndarray:
     return rel.sum(-1)  # (ws², ws²)
 
 
-def _shift_attn_mask(hp: int, wp: int, ws: int, shift: int) -> np.ndarray:
-    """Standard Swin shifted-window attention mask: (nW, ws², ws²) additive."""
-    img = np.zeros((hp, wp))
-    cnt = 0
-    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
-        for wslice in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
-            img[hs, wslice] = cnt
-            cnt += 1
+def _shift_attn_mask(hp: int, wp: int, ws: int, shift: int, zero) -> jnp.ndarray:
+    """Standard Swin shifted-window attention mask: (nW, ws², ws²) additive.
+
+    Region id per axis: [0, n-ws) -> 0, [n-ws, n-shift) -> 1, [n-shift, n) -> 2;
+    cell id = 3*row_region + col_region; pairs with differing ids get -100
+    (matches the reference stack's slice-assignment construction,
+    HF modeling_swin get_attn_mask). `zero` is a traced int32 scalar so the
+    (nW, ws², ws²) mask is computed in-graph instead of being embedded as a
+    multi-MB literal (the remote-compile tunnel caps request size).
+    """
+    ph = jnp.arange(hp, dtype=jnp.int32)
+    rh = (ph >= hp - ws).astype(jnp.int32) + (ph >= hp - shift).astype(jnp.int32)
+    pw = jnp.arange(wp, dtype=jnp.int32)
+    rw = (pw >= wp - ws).astype(jnp.int32) + (pw >= wp - shift).astype(jnp.int32)
+    img = rh[:, None] * 3 + rw[None, :] + zero
     win = img.reshape(hp // ws, ws, wp // ws, ws).transpose(0, 2, 1, 3).reshape(-1, ws * ws)
-    mask = win[:, None, :] - win[:, :, None]
-    return np.where(mask != 0, -100.0, 0.0).astype(np.float32)
+    diff = win[:, None, :] - win[:, :, None]
+    return jnp.where(diff != 0, -100.0, 0.0).astype(jnp.float32)
 
 
 class WindowAttention(nn.Module):
@@ -150,7 +157,7 @@ class SwinBlock(nn.Module):
 
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-            attn_mask = jnp.asarray(_shift_attn_mask(hp, wp, ws, shift))
+            attn_mask = _shift_attn_mask(hp, wp, ws, shift, (x.ravel()[0] * 0).astype(jnp.int32))
         else:
             attn_mask = None
 

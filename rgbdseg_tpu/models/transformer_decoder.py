@@ -135,7 +135,10 @@ class TransformerModule(nn.Module):
             _, h, w, _ = f.shape
             sizes.append((h, w))
             memories.append(f.reshape(b, h * w, d) + level_embed[i][None, None])
-            memory_poses.append(sine_position_embedding(h, w, d // 2).reshape(1, h * w, d))
+            # traced zero: keeps the (H, W, d) embedding in-graph, not a literal
+            memory_poses.append(
+                sine_position_embedding(h, w, d // 2, zero=f.ravel()[0] * 0).reshape(1, h * w, d)
+            )
 
         query_pos = jnp.broadcast_to(queries_embedder[None], (b, cfg.num_queries, d))
         hidden = jnp.broadcast_to(queries_features[None], (b, cfg.num_queries, d))

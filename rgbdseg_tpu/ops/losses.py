@@ -186,32 +186,38 @@ def mask2former_loss(
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
     """Full criterion with auxiliary losses and weight_dict application.
 
-    Returns (total_loss, loss_dict). num_masks is averaged across devices when
-    `axis_name` is given (reference: HF get_num_masks with accelerate reduce).
+    Returns (total_loss, loss_dict); loss_dict values are (num_layers,) arrays
+    ordered [aux_0 ... aux_{L-2}, final] and already weight_dict-scaled. The
+    per-layer criterion runs under `lax.scan` so the matcher + point losses are
+    compiled ONCE regardless of decoder depth (the reference re-runs its
+    criterion per aux layer, HF modeling :771-778 — semantics identical, this
+    is purely a compile-size optimization). num_masks is averaged across
+    devices when `axis_name` is given (reference: HF get_num_masks).
     """
     num_masks = jnp.sum(target_valid.astype(jnp.float32))
     if axis_name is not None:
         num_masks = jax.lax.pmean(num_masks, axis_name)
     num_masks = jnp.maximum(num_masks, 1.0)
 
-    layers = list(zip(outputs.aux_class_logits, outputs.aux_mask_logits)) + [
-        (outputs.class_queries_logits, outputs.masks_queries_logits)
-    ]
-    weights = {
-        "loss_cross_entropy": cfg.class_weight,
-        "loss_mask": cfg.mask_weight,
-        "loss_dice": cfg.dice_weight,
-    }
-    rngs = jax.random.split(rng, len(layers))
-    loss_dict: dict[str, jnp.ndarray] = {}
-    total = 0.0
-    for li, (cl, ml) in enumerate(layers):
-        if not cfg.use_auxiliary_loss and li < len(layers) - 1:
-            continue
-        ld = layer_losses(cfg, cl, ml, target_masks, target_classes, target_valid, rngs[li], num_masks)
-        suffix = "" if li == len(layers) - 1 else f"_{li}"
-        for k, v in ld.items():
-            wv = v * weights[k]
-            loss_dict[k + suffix] = wv
-            total = total + wv
-    return total, loss_dict
+    all_cls = list(outputs.aux_class_logits) + [outputs.class_queries_logits]
+    all_msk = list(outputs.aux_mask_logits) + [outputs.masks_queries_logits]
+    if not cfg.use_auxiliary_loss:
+        all_cls, all_msk = all_cls[-1:], all_msk[-1:]
+    n_layers = len(all_cls)
+    cls_stack = jnp.stack(all_cls)
+    msk_stack = jnp.stack(all_msk)
+    rngs = jax.random.split(rng, n_layers)
+
+    def body(carry, inp):
+        cl, ml, r = inp
+        ld = layer_losses(cfg, cl, ml, target_masks, target_classes, target_valid, r, num_masks)
+        weighted = {
+            "loss_cross_entropy": ld["loss_cross_entropy"] * cfg.class_weight,
+            "loss_mask": ld["loss_mask"] * cfg.mask_weight,
+            "loss_dice": ld["loss_dice"] * cfg.dice_weight,
+        }
+        total = weighted["loss_cross_entropy"] + weighted["loss_mask"] + weighted["loss_dice"]
+        return carry + total, weighted
+
+    total, per_layer = jax.lax.scan(body, jnp.float32(0.0), (cls_stack, msk_stack, rngs))
+    return total, per_layer

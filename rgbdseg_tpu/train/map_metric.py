@@ -74,7 +74,11 @@ class MeanAveragePrecision:
         scores = scores[order]
         gmasks = tgt["masks"][sel_g]
 
-        garea = gmasks.reshape(gmasks.shape[0], -1).sum(1).astype(np.float64)
+        garea = (
+            gmasks.sum(axis=(1, 2)).astype(np.float64)
+            if gmasks.shape[0]
+            else np.zeros((0,), np.float64)
+        )
         gt_ignore = (garea < area_rng[0]) | (garea > area_rng[1])
         # sort gts: non-ignored first (COCO convention)
         gorder = np.argsort(gt_ignore, kind="mergesort")
@@ -103,7 +107,7 @@ class MeanAveragePrecision:
                 if best >= 0:
                     dt_m[ti, di] = best
                     gt_m[ti, best] = di
-        darea = dmasks.reshape(nd, -1).sum(1).astype(np.float64)
+        darea = dmasks.sum(axis=(1, 2)).astype(np.float64) if nd else np.zeros((0,), np.float64)
         d_out = (darea < area_rng[0]) | (darea > area_rng[1])
         dt_ignore = np.zeros((nt, nd), bool)
         for ti in range(nt):

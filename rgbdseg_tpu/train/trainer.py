@@ -22,10 +22,14 @@ import time
 from functools import partial
 from typing import Optional
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+
+logger = logging.getLogger(__name__)
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ModelConfig
@@ -240,6 +244,12 @@ class Trainer:
         total_loss, loss_count = 0.0, 0
 
         num_epochs = int(self.args.num_train_epochs)
+        logger.info(
+            "***** Running training ***** epochs=%s steps/epoch=%s devices=%s",
+            num_epochs,
+            steps_per_epoch,
+            self.mesh.devices.size,
+        )
         for epoch in range(start_epoch, num_epochs):
             epoch_losses, epoch_gnorm = [], []
             for batch in self.train_dataset.batches(
@@ -256,6 +266,12 @@ class Trainer:
                 self.global_step += 1
                 epoch_losses.append(loss)
                 epoch_gnorm.append(gnorm)
+                if self.global_step == 1:
+                    logger.info(
+                        "first train step done (compile included) in %.1fs, loss=%.4f",
+                        time.time() - t0,
+                        float(loss),
+                    )
 
             mean_loss = float(jnp.mean(jnp.stack(epoch_losses)))
             total_loss += sum(float(l) for l in epoch_losses)

@@ -12,4 +12,5 @@ def setup_logging(level: int = logging.INFO) -> None:
         datefmt="%m/%d/%Y %H:%M:%S",
         handlers=[logging.StreamHandler(sys.stdout)],
         level=level,
+        force=True,  # jax's import side effects already configured the root
     )

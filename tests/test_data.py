@@ -56,8 +56,10 @@ def test_preprocess_matches_hf_image_processor(fixture_dir):
     pairs = np.unique(mask[..., 1:].reshape(-1, 2), axis=0)
     mapping = {int(i): int(s) for i, s in pairs}
 
+    # ignore_index=255 (no fixture pixel uses it): transformers 4.57's pad()
+    # rejects constant_values=None even when the pad amount is zero.
     hf = Mask2FormerImageProcessor(
-        size={"height": 64, "width": 64}, size_divisor=32, ignore_index=None, do_reduce_labels=False
+        size={"height": 64, "width": 64}, size_divisor=32, ignore_index=255, do_reduce_labels=False
     )
     out = hf(images=[rgb], segmentation_maps=[inst], instance_id_to_semantic_id=mapping, return_tensors="np")
 

@@ -60,8 +60,9 @@ def test_loss_and_gradients():
 
     (total, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
     assert np.isfinite(float(total))
-    # final + (decoder_layers - 1) aux layers, 3 losses each
-    assert len(ld) == 3 * cfg.decoder_layers
+    # 3 loss kinds, each stacked over final + (decoder_layers - 1) aux layers
+    assert set(ld) == {"loss_cross_entropy", "loss_mask", "loss_dice"}
+    assert all(v.shape == (cfg.decoder_layers,) for v in ld.values())
     gnorm = sum(float(jnp.sum(g**2)) for g in jax.tree.leaves(grads))
     assert np.isfinite(gnorm) and gnorm > 0
 
