@@ -35,10 +35,18 @@ def main():
     cfg = ModelConfig(num_labels=40, version="0.4.0")
     model = Mask2FormerRGBD(cfg)
 
+    # bf16 params + activations: native MXU dtype, halves HBM traffic on the
+    # bandwidth-bound paths (deformable gathers, mask resizes). The depth
+    # histogram/decomposition internally upcasts to f32 (ops/depth_decomp.py)
+    # so DSAM region masks stay exact.
+    dtype = jnp.dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(batch, h, w, 10), jnp.float32)
+    x = jnp.asarray(rng.rand(batch, h, w, 10), dtype)
     variables = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, h, w, 10), jnp.float32)
+    )
+    variables = jax.tree.map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, variables
     )
 
     @jax.jit

@@ -19,6 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint")
+    ap.add_argument(
+        "--hf_checkpoint",
+        help="HF Mask2Former checkpoint dir (config.json + model.safetensors) — "
+        "loads reference-trained weights directly",
+    )
     ap.add_argument("--version", default="0.0.0")
     ap.add_argument("--num_labels", type=int, default=2)
     ap.add_argument("--image")
@@ -54,6 +59,12 @@ def main():
 
     import jax
 
+    hf_params = None
+    if args.hf_checkpoint:
+        from rgbdseg_tpu.utils.hf_convert import load_hf_checkpoint
+
+        cfg, hf_params = load_hf_checkpoint(args.hf_checkpoint, version=args.version)
+
     model = Mask2FormerRGBD(cfg)
     dummy_ch = __import__("rgbdseg_tpu.versions", fromlist=["get"]).get(args.version).channels.total
     import jax.numpy as jnp
@@ -61,6 +72,17 @@ def main():
     variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 64, 64, dummy_ch)))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    if hf_params is not None:
+        # graft the converted HF trunk onto the freshly-initialized tree (any
+        # version-specific fusion modules keep their fresh init)
+        def merge(dst, src):
+            for k, v in src.items():
+                dst[k] = merge(dict(dst.get(k, {})), v) if isinstance(v, dict) else v
+            return dst
+
+        import flax
+
+        params = merge(flax.core.unfreeze(params), hf_params)
     if args.checkpoint:
         state = load_checkpoint(
             args.checkpoint,

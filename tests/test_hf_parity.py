@@ -94,6 +94,29 @@ def test_swin_backbone_parity(hf_model):
         np.testing.assert_allclose(np.asarray(m), r, rtol=1e-4, atol=1e-4, err_msg=f"stage {i}")
 
 
+def test_load_hf_checkpoint_dir(hf_model, tmp_path):
+    """save_pretrained dir -> load_hf_checkpoint == live state_dict conversion,
+    bit-exact, with the config reconstructed from config.json. This is the
+    user-migration path for reference-trained checkpoints (forward-pass parity
+    of the converted tree is covered by test_full_model_parity; a logit
+    comparison here would only re-measure attention-mask binarization noise)."""
+    d = str(tmp_path / "ckpt")
+    hf_model.save_pretrained(d)
+
+    from rgbdseg_tpu.utils.hf_convert import convert_mask2former, load_hf_checkpoint
+
+    cfg, params = load_hf_checkpoint(d)
+    assert cfg == _my_config().replace(version=cfg.version)
+
+    sd = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}
+    live = convert_mask2former(sd, cfg)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(live))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_b[path]), err_msg=str(path))
+
+
 def test_full_model_parity(hf_model):
     sd = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}
     cfg = _my_config()

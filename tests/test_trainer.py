@@ -88,6 +88,34 @@ def test_train_eval_save_resume(datasets, tmp_path):
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2))
 
 
+def test_bf16_training_step(datasets, tmp_path):
+    """args.bf16 mixed precision: f32 masters, bf16 forward, finite f32 loss."""
+    train_ds, _ = datasets
+    cfg = ModelConfig.tiny(num_labels=3, version="0.0.0")
+    args = TrainingArguments(
+        output_dir=str(tmp_path / "runbf16"),
+        num_train_epochs=1,
+        per_device_train_batch_size=2,
+        do_eval=False,
+        save_strategy="no",
+        bf16=True,
+        num_devices=1,
+    )
+    trainer = Trainer(cfg, args, train_ds, None, {})
+    first = next(train_ds.batches(2))
+    trainer._init_state(first)
+    step = trainer._train_step_fn()
+    (px, mk, cl, vd), _ = trainer._put(first)
+    import jax
+
+    params, opt_state, bs, rng, loss, gnorm = step(
+        trainer.params, trainer.opt_state, trainer.batch_stats, trainer.rng, px, mk, cl, vd
+    )
+    assert np.isfinite(float(loss)) and np.isfinite(float(gnorm))
+    # master params stay f32
+    assert all(l.dtype == np.float32 for l in jax.tree.leaves(params) if hasattr(l, "dtype"))
+
+
 def test_predict_and_export(datasets, tmp_path):
     train_ds, valid_ds = datasets
     cfg = ModelConfig.tiny(num_labels=3, version="0.0.0")
