@@ -40,7 +40,21 @@ def main(argv=None):
     train_ds, valid_ds, label2id, id2label = build_datasets(args)
     cfg = ModelConfig(num_labels=len(label2id), version=args.version)
 
-    trainer = Trainer(cfg, training_args, train_ds, valid_ds, id2label)
+    # model_name_or_path pointing at an HF Mask2Former checkpoint dir loads the
+    # pretrained trunk (reference workflow: finetune from
+    # facebook/mask2former-swin-tiny-coco-instance, finetuning.py:86-92); the
+    # class head is re-initialized when num_labels differs.
+    pretrained = None
+    if args.model_name_or_path and os.path.isdir(args.model_name_or_path) and os.path.exists(
+        os.path.join(args.model_name_or_path, "config.json")
+    ):
+        from rgbdseg_tpu.utils.hf_convert import load_hf_checkpoint
+
+        hf_cfg, pretrained = load_hf_checkpoint(args.model_name_or_path, version=args.version)
+        cfg = hf_cfg.replace(num_labels=len(label2id), version=args.version)
+        logger.info("loaded pretrained HF checkpoint from %s", args.model_name_or_path)
+
+    trainer = Trainer(cfg, training_args, train_ds, valid_ds, id2label, pretrained_params=pretrained)
 
     if training_args.do_train:
         metrics = trainer.train(resume_from_checkpoint=training_args.resume_from_checkpoint or last_checkpoint)

@@ -75,14 +75,13 @@ def main():
     if hf_params is not None:
         # graft the converted HF trunk onto the freshly-initialized tree (any
         # version-specific fusion modules keep their fresh init)
-        def merge(dst, src):
-            for k, v in src.items():
-                dst[k] = merge(dict(dst.get(k, {})), v) if isinstance(v, dict) else v
-            return dst
-
         import flax
 
-        params = merge(flax.core.unfreeze(params), hf_params)
+        from rgbdseg_tpu.utils.hf_convert import graft
+
+        params, skipped = graft(flax.core.unfreeze(params), hf_params)
+        for s in skipped:
+            print(f"skipped pretrained weight (shape mismatch): {s}")
     if args.checkpoint:
         state = load_checkpoint(
             args.checkpoint,

@@ -49,9 +49,11 @@ class Trainer:
         train_dataset=None,
         eval_dataset=None,
         id2label: Optional[dict] = None,
+        pretrained_params: Optional[dict] = None,
     ):
         self.cfg = cfg
         self.args = args
+        self._pretrained_params = pretrained_params
         self.train_dataset = train_dataset
         self.eval_dataset = eval_dataset
         self.id2label = id2label or {}
@@ -79,7 +81,16 @@ class Trainer:
         # jit the init: eager init dispatches thousands of tiny ops (slow over
         # a remote-TPU tunnel); one compiled program instead.
         variables = jax.jit(self.model.init)({"params": init_rng}, x)
-        self.params = jax.device_put(variables["params"], self.repl)
+        params = variables["params"]
+        if self._pretrained_params is not None:
+            from flax.core import unfreeze
+            from ..utils.hf_convert import graft
+
+            params, skipped = graft(unfreeze(params), self._pretrained_params)
+            for s in skipped:
+                logger.warning("pretrained weight skipped (shape mismatch): %s", s)
+            logger.info("loaded pretrained trunk (%d leaves skipped)", len(skipped))
+        self.params = jax.device_put(params, self.repl)
         self.batch_stats = jax.device_put(variables.get("batch_stats", {}), self.repl)
 
         steps_per_epoch = self._steps_per_epoch()

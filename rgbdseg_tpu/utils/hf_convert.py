@@ -215,6 +215,28 @@ def load_hf_checkpoint(model_dir: str, version: str = "0.0.0"):
     return cfg, convert_mask2former(sd, cfg)
 
 
+def graft(init_params: dict, pretrained: dict, path: str = "") -> tuple[dict, list[str]]:
+    """Merge a converted pretrained subtree onto a freshly-initialized param
+    tree. Leaves with mismatched shapes are kept at their fresh init and
+    reported (reference analogue: from_pretrained with a different num_labels
+    re-initializes the class head). Returns (merged, skipped_paths)."""
+    merged = dict(init_params)
+    skipped: list[str] = []
+    for k, v in pretrained.items():
+        sub = f"{path}/{k}" if path else k
+        if isinstance(v, dict):
+            child, sk = graft(dict(merged.get(k, {})), v, sub)
+            merged[k] = child
+            skipped += sk
+        else:
+            cur = merged.get(k)
+            if cur is not None and tuple(np.shape(cur)) != tuple(np.shape(v)):
+                skipped.append(f"{sub}: checkpoint {np.shape(v)} vs model {np.shape(cur)}")
+            else:
+                merged[k] = v
+    return merged, skipped
+
+
 def convert_mask2former(state_dict: dict, cfg) -> dict:
     """Full HF Mask2FormerForUniversalSegmentation state_dict -> flax params."""
     sd = {k: np.asarray(v) for k, v in state_dict.items()}

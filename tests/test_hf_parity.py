@@ -117,6 +117,34 @@ def test_load_hf_checkpoint_dir(hf_model, tmp_path):
         np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_b[path]), err_msg=str(path))
 
 
+def test_graft_pretrained_trunk(hf_model, tmp_path):
+    """Fine-tune-from-pretrained path: trunk weights transfer, the class head
+    (different num_labels) keeps its fresh init and is reported as skipped."""
+    d = str(tmp_path / "ckpt2")
+    hf_model.save_pretrained(d)
+
+    from rgbdseg_tpu.utils.hf_convert import graft, load_hf_checkpoint
+
+    hf_cfg, pretrained = load_hf_checkpoint(d)
+    cfg = hf_cfg.replace(num_labels=7)  # checkpoint has 3
+    model = Mask2FormerRGBD(cfg)
+    init = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 64, 64, 3), jnp.float32)
+    )["params"]
+
+    import flax
+
+    merged, skipped = graft(flax.core.unfreeze(init), pretrained)
+    assert any("class_predictor" in s for s in skipped)
+    # a trunk leaf actually transferred
+    got = merged["pixel_level_module"]["encoder"]["patch_embed"]["kernel"]
+    want = pretrained["pixel_level_module"]["encoder"]["patch_embed"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # merged tree still matches the model's expected structure
+    out = model.apply({"params": merged}, np.zeros((1, 64, 64, 3), np.float32))
+    assert out.class_queries_logits.shape == (1, 10, 8)
+
+
 def test_full_model_parity(hf_model):
     sd = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}
     cfg = _my_config()
