@@ -61,6 +61,10 @@ class TrainingArguments:
     resume_from_checkpoint: Optional[str] = None
     overwrite_output_dir: bool = False
     num_devices: Optional[int] = None  # data-parallel devices (default: all)
+    # jax.profiler trace of training steps [profile_start_step, profile_stop_step)
+    # written to <output_dir>/profile (TensorBoard/xprof format).
+    profile_start_step: Optional[int] = None
+    profile_stop_step: Optional[int] = None
 
 
 def _add_fields(parser: argparse.ArgumentParser, dc) -> None:

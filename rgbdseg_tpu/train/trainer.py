@@ -287,10 +287,16 @@ class Trainer:
                 num_workers=args.dataloader_num_workers,
             ):
                 (px, mk, cl, vd), _ = self._put(batch)
+                if args.profile_start_step is not None and self.global_step == args.profile_start_step:
+                    jax.profiler.start_trace(os.path.join(args.output_dir, "profile"))
                 self.params, self.opt_state, self.batch_stats, rng, loss, gnorm = train_step(
                     self.params, self.opt_state, self.batch_stats, rng, px, mk, cl, vd
                 )
                 self.global_step += 1
+                if args.profile_stop_step is not None and self.global_step == args.profile_stop_step:
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
+                    logger.info("profiler trace written to %s/profile", args.output_dir)
                 epoch_losses.append(loss)
                 epoch_gnorm.append(gnorm)
                 if self.global_step == 1:
@@ -311,6 +317,7 @@ class Trainer:
                 "step": self.global_step,
             }
             self.log_history.append(entry)
+            logger.info("epoch %d: %s", epoch + 1, entry)
 
             if args.do_eval and args.eval_strategy == "epoch" and self.eval_dataset is not None:
                 metrics = self.evaluate()
