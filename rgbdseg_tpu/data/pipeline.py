@@ -64,17 +64,28 @@ class SegmentationDataset:
         version: str,
         preprocess: PreprocessConfig,
         max_instances: int = 20,
+        cache: bool = True,
+        cache_bytes_limit: int = 4 << 30,
     ):
         self.records = records
         self.version = version
         self.preprocess = preprocess
         self.max_instances = max_instances
         self.map_fn = MAP_FUNCTIONS[get_version(version).map_fn]
+        # In-memory cache of processed examples: the channel builders run
+        # cv2/PIL work per example; the reference materializes this once via
+        # datasets.map (dataloader.py:559-560), we cache on first access.
+        # Disabled automatically past `cache_bytes_limit`.
+        self._cache: Optional[dict[int, tuple]] = {} if cache else None
+        self._cache_bytes = 0
+        self._cache_bytes_limit = cache_bytes_limit
 
     def __len__(self) -> int:
         return len(self.records)
 
     def __getitem__(self, idx: int):
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
         pix, masks, labels = self.map_fn(self.records[idx], self.preprocess)
         t = self.max_instances
         n = min(masks.shape[0], t)
@@ -85,7 +96,11 @@ class SegmentationDataset:
         pm[:n] = masks[:n]
         pc[:n] = labels[:n]
         pv[:n] = True
-        return pix.astype(np.float32), pm, pc, pv
+        item = (pix.astype(np.float32), pm, pc, pv)
+        if self._cache is not None and self._cache_bytes < self._cache_bytes_limit:
+            self._cache[idx] = item
+            self._cache_bytes += sum(a.nbytes for a in item)
+        return item
 
     def batches(
         self,

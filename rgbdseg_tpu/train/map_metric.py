@@ -63,30 +63,46 @@ class MeanAveragePrecision:
             )
 
     # ------------------------------------------------------------------
-    def _evaluate_image(self, pred, tgt, cls, area_rng, max_det):
-        """COCOeval evaluateImg: returns (dt_matches (T, D), dt_scores (D,),
-        dt_ignore (T, D), gt_count) for one image/class/area."""
+    def _image_class_stats(self, pred, tgt, cls):
+        """Per (image, class) quantities shared by every (area, maxDet) pair:
+        score-sorted det scores/areas + gt areas + the full IoU matrix.
+        Computing the mask IoU ONCE here (instead of per area x maxDet, a 12x
+        redundancy) is what makes dataset-scale eval feasible."""
         sel_d = pred["labels"] == cls
         sel_g = tgt["labels"] == cls
         scores = pred["scores"][sel_d]
-        order = np.argsort(-scores, kind="mergesort")[:max_det]
+        order = np.argsort(-scores, kind="mergesort")
         dmasks = pred["masks"][sel_d][order]
-        scores = scores[order]
         gmasks = tgt["masks"][sel_g]
-
+        darea = (
+            dmasks.sum(axis=(1, 2)).astype(np.float64)
+            if dmasks.shape[0]
+            else np.zeros((0,), np.float64)
+        )
         garea = (
             gmasks.sum(axis=(1, 2)).astype(np.float64)
             if gmasks.shape[0]
             else np.zeros((0,), np.float64)
         )
+        return {
+            "scores": scores[order],
+            "darea": darea,
+            "garea": garea,
+            "ious": mask_iou(dmasks, gmasks),
+        }
+
+    def _evaluate_image(self, stats, area_rng, max_det):
+        """COCOeval evaluateImg from precomputed stats: returns
+        (dt_matches (T, D), dt_scores (D,), dt_ignore (T, D), gt_count)."""
+        scores = stats["scores"][:max_det]
+        darea_full = stats["darea"][:max_det]
+        garea = stats["garea"]
         gt_ignore = (garea < area_rng[0]) | (garea > area_rng[1])
         # sort gts: non-ignored first (COCO convention)
         gorder = np.argsort(gt_ignore, kind="mergesort")
-        gmasks = gmasks[gorder]
         gt_ignore = gt_ignore[gorder]
-
-        ious = mask_iou(dmasks, gmasks)
-        nd, ng = dmasks.shape[0], gmasks.shape[0]
+        ious = stats["ious"][:max_det][:, gorder]
+        nd, ng = ious.shape
         nt = len(IOU_THRS)
         dt_m = -np.ones((nt, nd), np.int64)
         gt_m = -np.ones((nt, ng), np.int64)
@@ -107,8 +123,7 @@ class MeanAveragePrecision:
                 if best >= 0:
                     dt_m[ti, di] = best
                     gt_m[ti, best] = di
-        darea = dmasks.sum(axis=(1, 2)).astype(np.float64) if nd else np.zeros((0,), np.float64)
-        d_out = (darea < area_rng[0]) | (darea > area_rng[1])
+        d_out = (darea_full < area_rng[0]) | (darea_full > area_rng[1])
         dt_ignore = np.zeros((nt, nd), bool)
         for ti in range(nt):
             matched = dt_m[ti] >= 0
@@ -120,13 +135,14 @@ class MeanAveragePrecision:
 
     def _accumulate_class(self, cls):
         """Returns dict area -> maxdet -> (precision (T, 101), recall (T,))."""
+        per_image_stats = [self._image_class_stats(pred, tgt, cls) for pred, tgt in self._images]
         out = {}
         for aname, arng in AREA_RANGES.items():
             out[aname] = {}
             for max_det in MAX_DETS:
                 matches, scores, ignores, npig = [], [], [], 0
-                for pred, tgt in self._images:
-                    m, s, ig, ng = self._evaluate_image(pred, tgt, cls, arng, max_det)
+                for stats in per_image_stats:
+                    m, s, ig, ng = self._evaluate_image(stats, arng, max_det)
                     matches.append(m)
                     scores.append(s)
                     ignores.append(ig)
