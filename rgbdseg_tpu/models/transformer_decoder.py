@@ -20,6 +20,11 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
+from ..ops.kernels import use_pallas
+from ..ops.kernels.masked_attention import (
+    masked_cross_attention,
+    masked_cross_attention_xla,
+)
 from ..ops.resize import resize_bilinear
 from .position import sine_position_embedding
 
@@ -38,24 +43,37 @@ def _merge_heads(t):
 
 class MultiheadAttention(nn.Module):
     """Dense MHA with additive mask; parity with torch nn.MultiheadAttention
-    (single in-proj semantics) as used by the masked cross-attention."""
+    (single in-proj semantics) as used by the masked cross-attention.
+
+    `attn_mask` is (raw resized mask logits, all-blocked flags); the additive
+    bias is built from the logits with a single compare (sigmoid(x) < 0.5 <=>
+    x < 0). A fused flash-style Pallas kernel exists for this
+    (ops/kernels/masked_attention.py, opt-in via RGBDSEG_PALLAS) but the XLA
+    formulation measures faster at Q=100 (see ops/kernels/__init__.py).
+    """
 
     dim: int
     num_heads: int
 
     @nn.compact
-    def __call__(self, query, key, value, attn_bias=None):
+    def __call__(self, query, key, value, attn_mask=None):
         nh = self.num_heads
         hd = self.dim // nh
         q = nn.Dense(self.dim, name="q_proj")(query)
         k = nn.Dense(self.dim, name="k_proj")(key)
         v = nn.Dense(self.dim, name="v_proj")(value)
         q, k, v = _split_heads(q, nh), _split_heads(k, nh), _split_heads(v, nh)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q * (hd**-0.5), k)
-        if attn_bias is not None:
-            logits = logits + attn_bias
-        attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        q = q * (hd**-0.5)
+        if attn_mask is not None:
+            mask_logits, all_blocked = attn_mask
+            if use_pallas("mca"):
+                out = masked_cross_attention(q, k, v, mask_logits, all_blocked, False)
+            else:
+                out = masked_cross_attention_xla(q, k, v, mask_logits, all_blocked)
+        else:
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+            attn = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         return nn.Dense(self.dim, name="out_proj")(_merge_heads(out))
 
 
@@ -63,12 +81,12 @@ class DecoderLayer(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, hidden, query_pos, memory, memory_pos, attn_bias):
+    def __call__(self, hidden, query_pos, memory, memory_pos, attn_mask):
         cfg = self.cfg
         d = cfg.hidden_dim
         # Masked cross-attention (post-norm order, HF forward_post :1595-1652).
         y = MultiheadAttention(d, cfg.num_attention_heads, name="cross_attn")(
-            hidden + query_pos, memory + memory_pos, memory, attn_bias
+            hidden + query_pos, memory + memory_pos, memory, attn_mask
         )
         hidden = nn.LayerNorm(name="cross_attn_layer_norm")(hidden + y)
         # Self-attention: q,k get pos embeddings; v is the raw hidden state.
@@ -104,13 +122,13 @@ class MaskPredictor(nn.Module):
         th, tw = target_hw
         b, q, h, w = outputs_mask.shape
         am = resize_bilinear(outputs_mask.transpose(0, 2, 3, 1), (th, tw)).transpose(0, 3, 1, 2)
-        am = jax.nn.sigmoid(am).reshape(b, q, th * tw)
-        masked = am < 0.5  # True = blocked
+        # Raw resized logits; sigmoid(x) < 0.5 <=> x < 0, so the threshold is
+        # applied directly on logits (in-kernel on TPU). True = blocked.
+        am = am.reshape(b, q, th * tw)
         # Disable masking for queries whose mask blocks everything (HF :1880-1882).
-        all_blocked = jnp.all(masked, axis=-1, keepdims=True)
-        masked = masked & ~all_blocked
-        attn_bias = jnp.where(masked[:, None], NEG_INF, 0.0)  # (B, 1, Q, K)
-        return outputs_mask, jax.lax.stop_gradient(attn_bias)
+        all_blocked = jnp.all(am < 0.0, axis=-1)  # (B, Q)
+        attn_mask = (jax.lax.stop_gradient(am), all_blocked)
+        return outputs_mask, attn_mask
 
 
 class TransformerModule(nn.Module):
@@ -150,17 +168,17 @@ class TransformerModule(nn.Module):
         class_logits_all, mask_logits_all = [], []
         intermediate = final_norm(hidden)
         class_logits_all.append(class_predictor(intermediate))
-        pred_mask, attn_bias = mask_predictor(intermediate, mask_features, sizes[0])
+        pred_mask, attn_mask = mask_predictor(intermediate, mask_features, sizes[0])
         mask_logits_all.append(pred_mask)
 
         for idx in range(cfg.decoder_layers - 1):
             lvl = idx % nl
             hidden = DecoderLayer(cfg, name=f"layer{idx}")(
-                hidden, query_pos, memories[lvl], memory_poses[lvl], attn_bias
+                hidden, query_pos, memories[lvl], memory_poses[lvl], attn_mask
             )
             intermediate = final_norm(hidden)
             class_logits_all.append(class_predictor(intermediate))
-            pred_mask, attn_bias = mask_predictor(intermediate, mask_features, sizes[(idx + 1) % nl])
+            pred_mask, attn_mask = mask_predictor(intermediate, mask_features, sizes[(idx + 1) % nl])
             mask_logits_all.append(pred_mask)
 
         return class_logits_all, mask_logits_all

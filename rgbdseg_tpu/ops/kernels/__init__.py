@@ -1,0 +1,63 @@
+"""Pallas TPU kernels for the hot ops — measured, and OFF by default.
+
+Each kernel has an XLA (plain jnp) twin used as the golden reference in tests
+and as the production path. The twins are written so XLA's fusion engine
+produces exactly the data movement the hand kernel aims for (e.g. the tent
+sampling matrix is consumed by a single matmul and fused into its operand
+generation), and on TPU v5e the twins WIN end-to-end at this model's shapes:
+
+    bench.py 640x480 v0.4.0, bf16, TPU v5e (2026-08-17):
+      XLA twins everywhere        32.5 img/s
+      + deformable Pallas kernel  18.7 img/s   (tent-matmul tile loop loses
+                                                to XLA's fused P@V: tiny
+                                                (512, 256)x(256, 32) MXU
+                                                tiles underutilize the array)
+      + masked-attn Pallas kernel 31.0 img/s   (flash-style online softmax
+                                                saves HBM but Q=100 rows
+                                                underfill the MXU; XLA's
+                                                unfused softmax is cheap at
+                                                this K)
+      both kernels                17.4 img/s
+
+The kernels are kept (a) as regression baselines that pin the twins' numerics
+via tests/test_pallas_kernels.py, (b) for ablation, and (c) for shape regimes
+where manual tiling should win (Q >= 1024 masked attention, hd >= 128
+deformable heads). Opt in with RGBDSEG_PALLAS=1 (all kernels) or
+RGBDSEG_PALLAS_ENABLE=deform,mca (individually).
+
+- `deformable.tent_sample_level` — fused tent-weight deformable-attention
+  sampling (the TPU-native replacement for the reference stack's CUDA
+  `ms_deform_attn`, HF modeling_mask2former.py:907-1026). Computes the
+  bilinear "tent" sampling matrix tile-by-tile in VMEM and contracts it with
+  the value tensor on the MXU.
+- `masked_attention.masked_cross_attention` — the Mask2Former masked
+  cross-attention (HF modeling_mask2former.py:1595-1652) with the
+  sigmoid-threshold attention mask applied in-kernel from raw mask logits and
+  an online-softmax recurrence over K tiles.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def use_pallas(kind: str = "") -> bool:
+    """True when the hand-written Pallas kernel should be used for `kind`.
+
+    Default False everywhere: the XLA twins are faster end-to-end on TPU v5e
+    at this model's shapes (see module docstring for the measurements).
+    RGBDSEG_PALLAS=1 enables all kernels; RGBDSEG_PALLAS_ENABLE is a
+    comma-separated list of kinds ("deform", "mca") to enable individually.
+    Either way the kernels only engage on the TPU backend.
+    """
+    enabled = os.environ.get("RGBDSEG_PALLAS", "0") == "1" or (
+        kind and kind in os.environ.get("RGBDSEG_PALLAS_ENABLE", "").split(",")
+    )
+    if not enabled:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
