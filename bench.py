@@ -41,7 +41,6 @@ def main():
     # so DSAM region masks stay exact.
     dtype = jnp.dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(batch, h, w, 10), dtype)
     variables = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, h, w, 10), jnp.float32)
     )
@@ -54,15 +53,19 @@ def main():
         out = model.apply(variables, px, deterministic=True)
         return out.class_queries_logits, out.masks_queries_logits
 
+    # DISTINCT input per iteration: the execution layer may memoize repeated
+    # identical (executable, args) calls, so timing one reused buffer
+    # measures cache hits, not compute.
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    xs = [jnp.asarray(rng.rand(batch, h, w, 10), dtype) for _ in range(iters)]
+
     # Warmup / compile.
-    out = forward(x)
+    out = forward(xs[0])
     jax.block_until_ready(out)
 
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(x)
-    jax.block_until_ready(out)
+    outs = [forward(x) for x in xs]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
 
     images_per_sec = batch * iters / dt
