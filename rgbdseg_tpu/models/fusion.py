@@ -23,6 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.conv import conv2d_lowcin, merge_multiscale_kernels
 from ..ops.depth_decomp import dsam_region_masks
 from ..ops.image import to_grayscale
 from ..ops.resize import (
@@ -37,6 +38,25 @@ def _bn(name: str, deterministic: bool):
     return nn.BatchNorm(
         use_running_average=deterministic, momentum=0.9, epsilon=1e-5, name=name
     )
+
+
+class _ConvParams(nn.Module):
+    """nn.Conv-compatible parameter container (same scope/param names and
+    initializers) whose kernel is applied via ops.conv.conv2d_lowcin instead
+    of a conv HLO — for convs from tiny channel counts (see ops/conv.py)."""
+
+    features: int
+    kernel_size: tuple
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel_size, cin, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
 
 
 class FeatureFuser(nn.Module):
@@ -181,7 +201,12 @@ class DepthImageRatioPredictor(nn.Module):
     def __call__(self, depth, deterministic: bool = True):
         x = depth
         for i, ch in enumerate((32, 64, 128)):
-            x = nn.Conv(ch, (3, 3), padding=1, name=f"conv{i}")(x)
+            if i == 0:
+                # full-res conv from 3 channels: im2col matmul (ops/conv.py)
+                k, b = _ConvParams(ch, (3, 3), name=f"conv{i}")(x.shape[-1])
+                x = conv2d_lowcin(x, k) + b
+            else:
+                x = nn.Conv(ch, (3, 3), padding=1, name=f"conv{i}")(x)
             x = _bn(f"bn{i}", deterministic)(x)
             x = nn.relu(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
@@ -206,9 +231,22 @@ class EnhancedDepthImageRatioPredictor(nn.Module):
 
     @nn.compact
     def __call__(self, depth, deterministic: bool = True):
+        # The three multi-scale convs read a 3-channel image; run them as ONE
+        # merged im2col matmul (zero-padded kernels, ops/conv.py) — the naive
+        # conv lowering pads C_in 3->128 and wastes ~43x MXU work (6.4 ms ->
+        # sub-ms at 640x480). Params are nn.Conv-identical per branch.
+        cin = depth.shape[-1]
+        kernels, biases = zip(
+            *(
+                _ConvParams(64, (k, k), name=f"scale{i}_conv")(cin)
+                for i, k in enumerate((3, 5, 7))
+            )
+        )
+        merged = merge_multiscale_kernels(list(kernels))
+        y = conv2d_lowcin(depth, merged) + jnp.concatenate(biases)
         scales = []
-        for i, k in enumerate((3, 5, 7)):
-            s = nn.Conv(64, (k, k), padding=k // 2, name=f"scale{i}_conv")(depth)
+        for i in range(3):
+            s = y[..., 64 * i : 64 * (i + 1)]
             s = _bn(f"scale{i}_bn", deterministic)(s)
             scales.append(nn.relu(s))
         x = jnp.concatenate(scales, axis=-1)

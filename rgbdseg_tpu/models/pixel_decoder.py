@@ -15,6 +15,8 @@ constants).
 
 from __future__ import annotations
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -48,8 +50,9 @@ class DeformableAttention(nn.Module):
     """Multi-scale deformable self-attention (n_levels levels, n_points points)."""
 
     cfg: ModelConfig
-    # levels with hw <= this use the tent-matmul sampling path (see __call__)
-    _TENT_HW_MAX = 8192
+    # levels with hw <= this use the tent-matmul sampling path (see __call__);
+    # RGBDSEG_TENT_HW_MAX overrides for A/B measurement.
+    _TENT_HW_MAX = int(os.environ.get("RGBDSEG_TENT_HW_MAX", "8192"))
 
     @nn.compact
     def __call__(self, hidden_states, position_embeddings, reference_points, spatial_shapes):
