@@ -7,6 +7,11 @@ pixel decoder + masked-attention decoder) on one chip and prints ONE JSON line:
 
 Baseline: the reference's published 640² eval throughput on its GPU,
 test_samples_per_second ≈ 0.61 (BASELINE.md, coco82v2_multi_640).
+
+BENCH_MODE=train instead measures a full 640x480 training step (forward +
+Hungarian matching + point-sampled losses + backward + AdamW) against the
+reference's train_samples_per_second = 0.973 (coco82v2_multi_640
+all_results.json).
 """
 
 import json
@@ -21,6 +26,80 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_THROUGHPUT = 0.61  # images/s, reference 640² eval on 1x GPU
+REFERENCE_TRAIN_THROUGHPUT = 0.973  # images/s, reference 640² train on 1x GPU
+
+
+def bench_train():
+    """Full training-step throughput (fwd + matcher + losses + bwd + AdamW)."""
+    import optax
+
+    from rgbdseg_tpu.config import ModelConfig
+    from rgbdseg_tpu.models.mask2former import Mask2FormerRGBD
+    from rgbdseg_tpu.ops.losses import mask2former_loss
+
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    h, w, t = 480, 640, 16
+    cfg = ModelConfig(num_labels=40, version="0.4.0")
+    model = Mask2FormerRGBD(cfg)
+    rng = np.random.RandomState(0)
+
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, h, w, 10), jnp.float32)
+    )
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(params)
+
+    # bf16 forward with f32 masters, matching TrainingArguments.bf16.
+    bf16 = os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16"
+
+    def train_step(params, opt_state, batch_stats, px, masks, classes, valid):
+        def loss_fn(p):
+            pc = jax.tree.map(lambda a: a.astype(jnp.bfloat16), p) if bf16 else p
+            out, mut = model.apply(
+                {"params": pc, "batch_stats": batch_stats},
+                px.astype(jnp.bfloat16) if bf16 else px,
+                deterministic=False,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(1), "droppath": jax.random.PRNGKey(2)},
+            )
+            total, _ = mask2former_loss(cfg, out, masks, classes, valid, jax.random.PRNGKey(3))
+            return total, mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, new_bs, loss
+
+    step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+    iters = int(os.environ.get("BENCH_ITERS", "6"))
+    batches = []
+    for _ in range(iters + 1):
+        px = jnp.asarray(rng.rand(batch, h, w, 10), jnp.float32)
+        masks = jnp.asarray(rng.rand(batch, t, h, w) > 0.7, jnp.float32)
+        classes = jnp.asarray(rng.randint(0, 40, (batch, t)), jnp.int32)
+        valid = jnp.ones((batch, t), bool)
+        batches.append((px, masks, classes, valid))
+
+    params, opt_state, batch_stats, loss = step(params, opt_state, batch_stats, *batches[0])
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for b in batches[1:]:
+        params, opt_state, batch_stats, loss = step(params, opt_state, batch_stats, *b)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "NYUv2 640x480 train images/sec/chip (full step, v0.4.0)",
+                "value": round(images_per_sec, 3),
+                "unit": "images/sec",
+                "vs_baseline": round(images_per_sec / REFERENCE_TRAIN_THROUGHPUT, 2),
+            }
+        )
+    )
 
 
 def main():
@@ -82,4 +161,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE", "infer") == "train":
+        bench_train()
+    else:
+        main()

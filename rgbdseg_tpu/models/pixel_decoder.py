@@ -188,8 +188,16 @@ class PixelDecoder(nn.Module):
         pos = jnp.concatenate(poses, axis=1)
         ref = reference_points_for_shapes(shapes, zero=x.ravel()[0] * 0)[None, :, None, :].repeat(nl, 2)
 
+        # Remat each encoder layer: the backward otherwise keeps every layer's
+        # deformable-attention intermediates (incl. the (B*heads, L, hw) tent
+        # sampling matrices) live at once — multi-GB at 640x480. Recomputing
+        # the layer in the backward trades ~1/3 extra FLOPs for flat memory.
+        # (Step-time note: full-model fwd+bwd with a trivial loss measures
+        # ~0.9 s at 640x480; the train-step wall time is dominated by the
+        # criterion, not by this backward — see PERF.md.)
+        layer = nn.remat(EncoderLayer, static_argnums=(4,))
         for li in range(cfg.encoder_layers):
-            x = EncoderLayer(cfg, name=f"layer{li}")(x, pos, ref, shapes)
+            x = layer(cfg, name=f"layer{li}")(x, pos, ref, shapes)
 
         # Split back into per-level maps.
         outputs = []

@@ -22,6 +22,13 @@ def make_mesh(num_devices: Optional[int] = None, model_axis: int = 1) -> Mesh:
     axis defaults to 1 (pure DP) but keeps the axis name available."""
     devs = jax.devices()
     n = num_devices or len(devs)
+    if n > len(devs):
+        # The axon TPU plugin registers even under JAX_PLATFORMS=cpu (PERF.md
+        # rule 5), so the default backend can be a single real chip while the
+        # virtual 8-device CPU platform holds the requested mesh size.
+        cpu = jax.devices("cpu")
+        if n <= len(cpu):
+            devs = cpu
     if n % model_axis:
         raise ValueError(f"{n} devices not divisible by model_axis={model_axis}")
     grid = np.asarray(devs[:n]).reshape(n // model_axis, model_axis)

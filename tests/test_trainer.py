@@ -116,6 +116,44 @@ def test_bf16_training_step(datasets, tmp_path):
     assert all(l.dtype == np.float32 for l in jax.tree.leaves(params) if hasattr(l, "dtype"))
 
 
+def test_multi_device_step_matches_single_device(datasets, tmp_path):
+    """Data-parallel parity: one train step on a 4-device mesh produces the
+    same loss and updated params as the same global batch on 1 device (XLA
+    all-reduces the per-shard grads; conftest provides 8 virtual CPU devices)."""
+    train_ds, _ = datasets
+    cfg = ModelConfig.tiny(num_labels=3, version="0.0.0")
+    first = next(train_ds.batches(4))
+
+    results = {}
+    for n in (1, 4):
+        args = TrainingArguments(
+            output_dir=str(tmp_path / f"run_dp{n}"),
+            num_train_epochs=1,
+            per_device_train_batch_size=4 // n,
+            do_eval=False,
+            save_strategy="no",
+            seed=42,
+            num_devices=n,
+        )
+        trainer = Trainer(cfg, args, train_ds, None, {})
+        trainer._init_state(first)
+        step = trainer._train_step_fn()
+        (px, mk, cl, vd), _ = trainer._put(first)
+        params, _, _, _, loss, _ = step(
+            trainer.params, trainer.opt_state, trainer.batch_stats, trainer.rng, px, mk, cl, vd
+        )
+        results[n] = (float(loss), params)
+
+    assert np.isfinite(results[4][0])
+    np.testing.assert_allclose(results[1][0], results[4][0], rtol=2e-4)
+    import jax
+
+    l1 = jax.tree.leaves(results[1][1])
+    l4 = jax.tree.leaves(results[4][1])
+    for a, b in zip(l1, l4):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
 def test_predict_and_export(datasets, tmp_path):
     train_ds, valid_ds = datasets
     cfg = ModelConfig.tiny(num_labels=3, version="0.0.0")
