@@ -38,26 +38,41 @@ def _sample_masks_at_points(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndar
 
 
 def _sample_each_mask_impl(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Separable tent-matmul bilinear sampling (no gather at all).
+
+    out[b,n,p] = ty_p^T M_n tx_p with tent row/col weights over the
+    zero-padded (H+2, W+2) grid (exact grid_sample zeros-padding semantics:
+    any corner weight falling out of bounds lands on the padding ring, which
+    is zero). Stage 1 contracts x as one batched (P, W+2) @ (W+2, H+2) matmul
+    per mask on the MXU; stage 2 is a tent-weighted reduce over y on the VPU.
+    Replaces the previous all-channels gather: TPU gathers cost ~4 ns/row so
+    sampling 600K points was ~10 ms/criterion-layer of pure row fetches, vs
+    ~1 ms of (mostly-zero) matmul the MXU absorbs. Measured exact (1e-6) vs
+    the gather formulation, including out-of-bounds points.
+    """
     b, n, h, w = masks.shape
-    p = coords.shape[2]
-    feats = masks.transpose(0, 2, 3, 1)  # (B, H, W, N)
-    out_all = grid_sample_bilinear(feats, coords.reshape(b, n * p, 2))  # (B, N*P, N)
-    out = out_all.reshape(b, n, p, n)
-    sel = jnp.arange(n)[None, :, None, None]
-    return jnp.take_along_axis(out, sel, axis=3)[..., 0]
+    dtype = masks.dtype
+    gy = coords[..., 1].astype(jnp.float32) * h - 0.5 + 1.0  # padded-grid coords
+    gx = coords[..., 0].astype(jnp.float32) * w - 0.5 + 1.0
+    ty = jnp.maximum(0.0, 1.0 - jnp.abs(gy[..., None] - jnp.arange(h + 2, dtype=jnp.float32)))
+    tx = jnp.maximum(0.0, 1.0 - jnp.abs(gx[..., None] - jnp.arange(w + 2, dtype=jnp.float32)))
+    mp = jnp.pad(masks.astype(jnp.float32), ((0, 0), (0, 0), (1, 1), (1, 1)))
+    a = jnp.einsum("bnpx,bnyx->bnpy", tx, mp)  # (B, N, P, H+2)
+    return jnp.sum(a * ty, axis=-1).astype(dtype)
 
 
 @jax.custom_vjp
 def _sample_each_mask(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """masks (B, N, H, W), coords (B, N, P, 2) -> (B, N, P); per-mask points.
 
-    TPU formulation (forward): sampling each mask as its own (H, W, 1) map
+    TPU formulation (history): sampling each mask as its own (H, W, 1) map
     makes the patch gather fetch (2, 2, 1) slices — a 1-float minor dimension
     that XLA lowers to a SERIAL per-point while loop (measured ~2 us/point:
     1.27 s for 16 masks x 37632 points at 480x640, the whole criterion's
-    cost). Instead sample ALL N masks as channels at every point and keep the
-    diagonal: gathers N x the data in (2, 2, N) rows, which rides the
-    vectorized gather path (~0.1 ms for the same workload).
+    cost). An all-channels gather (+ diagonal keep) rode the vectorized
+    gather path, but was still row-fetch-bound (~10 ms/criterion-layer).
+    Both directions now use the gather-free tent-matmul formulation — see
+    `_sample_each_mask_impl` for the forward.
 
     TPU formulation (backward): the VJP of a gather is a scatter-add, which
     XLA also lowers serially (measured ~1 s/layer in the criterion). But a

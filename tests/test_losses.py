@@ -39,7 +39,7 @@ def test_forward_matches_naive(seed):
     masks, coords = _inputs(seed)
     got = _sample_each_mask(masks, coords)
     want = _naive(masks, coords)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
 def test_forward_in_bounds_only():
@@ -47,7 +47,7 @@ def test_forward_in_bounds_only():
     np.testing.assert_allclose(
         np.asarray(_sample_each_mask(masks, coords)),
         np.asarray(_naive(masks, coords)),
-        atol=1e-6,
+        atol=1e-5,
     )
 
 
