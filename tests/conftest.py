@@ -3,12 +3,19 @@ tests run anywhere (the driver validates real-TPU behavior separately)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-force CPU. The session may boot jax at interpreter startup (via a
+# sitecustomize TPU-tunnel plugin) with JAX_PLATFORMS already bound, so
+# setting os.environ here is too late — update the LIVE config instead.
+# If the tunnel is down, any backend init on its platform hangs forever;
+# CPU tests must never depend on tunnel liveness.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 # This JAX build's DEFAULT matmul/conv precision loses ~1e-3 accuracy even on
 # CPU; numerics/parity tests need true f32 accumulation.
