@@ -154,6 +154,38 @@ def test_multi_device_step_matches_single_device(datasets, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+def test_same_seed_runs_are_identical(datasets, tmp_path):
+    """Experiment-2 parity (SURVEY.md §4.1): the reference's de-facto unit test
+    is running the same seeded config twice and asserting identical metrics
+    (architecture_change.md:67-96). Same contract here: two fresh Trainers with
+    the same seed must produce bit-identical per-epoch losses and final params."""
+    import jax
+
+    train_ds, _ = datasets
+    cfg = ModelConfig.tiny(num_labels=3, version="0.0.0")
+    runs = []
+    for i in range(2):
+        args = TrainingArguments(
+            output_dir=str(tmp_path / f"det{i}"),
+            num_train_epochs=1,
+            per_device_train_batch_size=2,
+            do_eval=False,
+            save_strategy="no",
+            seed=42,
+            num_devices=1,
+        )
+        trainer = Trainer(cfg, args, train_ds, None, {})
+        metrics = trainer.train()
+        with open(os.path.join(str(tmp_path / f"det{i}"), "trainer_state.json")) as f:
+            losses = [e["loss"] for e in json.load(f)["log_history"] if "loss" in e]
+        runs.append((metrics["train_loss"], losses, jax.tree.leaves(trainer.params)))
+
+    assert runs[0][0] == runs[1][0]
+    assert runs[0][1] == runs[1][1]
+    for a, b in zip(runs[0][2], runs[1][2]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_predict_and_export(datasets, tmp_path):
     train_ds, valid_ds = datasets
     cfg = ModelConfig.tiny(num_labels=3, version="0.0.0")
