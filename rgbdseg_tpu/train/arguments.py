@@ -60,7 +60,11 @@ class TrainingArguments:
     dataloader_num_workers: int = 4
     resume_from_checkpoint: Optional[str] = None
     overwrite_output_dir: bool = False
-    num_devices: Optional[int] = None  # data-parallel devices (default: all)
+    num_devices: Optional[int] = None  # total mesh devices (default: all)
+    # tensor-parallel width: mesh is (num_devices/mp, mp) = ('data', 'model');
+    # transformer params shard Megatron-style (parallel/sharding.py), XLA
+    # inserts the collectives. 1 = pure data parallelism.
+    model_parallel_size: int = 1
     # jax.profiler trace of training steps [profile_start_step, profile_stop_step)
     # written to <output_dir>/profile (TensorBoard/xprof format).
     profile_start_step: Optional[int] = None

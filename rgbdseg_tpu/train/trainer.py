@@ -60,9 +60,13 @@ class Trainer:
         self.model = Mask2FormerRGBD(cfg)
         jax.config.update("jax_default_matmul_precision", args.matmul_precision)
 
-        self.mesh = make_mesh(args.num_devices)
+        self.mesh = make_mesh(args.num_devices, model_axis=args.model_parallel_size)
         self.repl = NamedSharding(self.mesh, P())
         self.data_sharding = NamedSharding(self.mesh, P("data"))
+        # Sharding trees filled by _init_state: replicated for pure DP, megatron
+        # specs over the 'model' axis when model_parallel_size > 1.
+        self.param_sharding = self.repl
+        self.opt_sharding = self.repl
         self.log_history: list[dict] = []
         self.global_step = 0
         self._compiled = {}
@@ -90,7 +94,13 @@ class Trainer:
             for s in skipped:
                 logger.warning("pretrained weight skipped (shape mismatch): %s", s)
             logger.info("loaded pretrained trunk (%d leaves skipped)", len(skipped))
-        self.params = jax.device_put(params, self.repl)
+        if self.args.model_parallel_size > 1:
+            from ..parallel.sharding import shard_params
+
+            self.params = shard_params(params, self.mesh)
+            self.param_sharding = jax.tree.map(lambda a: a.sharding, self.params)
+        else:
+            self.params = jax.device_put(params, self.repl)
         self.batch_stats = jax.device_put(variables.get("batch_stats", {}), self.repl)
 
         steps_per_epoch = self._steps_per_epoch()
@@ -114,7 +124,18 @@ class Trainer:
                 weight_decay=self.args.weight_decay,
             ),
         )
-        self.opt_state = jax.device_put(self.tx.init(self.params), self.repl)
+        # tx.init's zeros_like inherits each master param's sharding, so the
+        # optimizer moments are model-sharded exactly like their params. Leaves
+        # tx.init creates fresh (e.g. Adam's step count) land on one device —
+        # normalize those to replicated so every input lives on the mesh.
+        opt_state = self.tx.init(self.params)
+        self.opt_sharding = jax.tree.map(
+            lambda a: a.sharding
+            if isinstance(getattr(a, "sharding", None), NamedSharding) and a.sharding.mesh == self.mesh
+            else self.repl,
+            opt_state,
+        )
+        self.opt_state = jax.tree.map(jax.device_put, opt_state, self.opt_sharding)
         self.total_steps = total_steps
 
     def _steps_per_epoch(self) -> int:
@@ -176,14 +197,22 @@ class Trainer:
         return jax.jit(
             step,
             in_shardings=(
-                self.repl,
-                self.repl,
+                self.param_sharding,
+                self.opt_sharding,
                 self.repl,
                 self.repl,
                 self.data_sharding,
                 self.data_sharding,
                 self.data_sharding,
                 self.data_sharding,
+            ),
+            out_shardings=(
+                self.param_sharding,
+                self.opt_sharding,
+                self.repl,
+                self.repl,
+                self.repl,
+                self.repl,
             ),
             donate_argnums=(0, 1, 2),
         )
@@ -204,7 +233,7 @@ class Trainer:
         return jax.jit(
             step,
             in_shardings=(
-                self.repl,
+                self.param_sharding,
                 self.repl,
                 self.repl,
                 self.data_sharding,
@@ -215,7 +244,7 @@ class Trainer:
         )
 
     def _put(self, batch):
-        n = self.mesh.devices.size
+        n = self.mesh.shape["data"]  # batch shards over the data axis only
         b = batch.pixel_values.shape[0]
         if b % n != 0:
             # replicate-pad the batch so it shards evenly (extra rows have
