@@ -57,6 +57,9 @@ class TrainingArguments:
     do_eval: bool = True
     bf16: bool = False  # bf16 activations policy
     matmul_precision: str = "float32"  # float32 | bfloat16_3x | bfloat16
+    # optimizer steps happen every N micro-batches; gradients are the exact
+    # mean over the accumulated micro-batches (HF Trainer surface parity).
+    gradient_accumulation_steps: int = 1
     dataloader_num_workers: int = 4
     resume_from_checkpoint: Optional[str] = None
     overwrite_output_dir: bool = False

@@ -139,8 +139,10 @@ class Trainer:
         self.total_steps = total_steps
 
     def _steps_per_epoch(self) -> int:
+        """Optimizer steps per epoch (micro-batches / gradient_accumulation)."""
         n = len(self.train_dataset) if self.train_dataset is not None else 1
-        return max(1, math.ceil(n / self.args.per_device_train_batch_size))
+        micro = max(1, math.ceil(n / self.args.per_device_train_batch_size))
+        return max(1, math.ceil(micro / max(1, self.args.gradient_accumulation_steps)))
 
     # ------------------------------------------------------------------
     def _cast_bf16(self, tree):
@@ -154,12 +156,13 @@ class Trainer:
             lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, tree
         )
 
-    def _train_step_fn(self):
+    def _loss_grads(self):
+        """Shared forward+backward: (params, batch_stats, drop_rng, loss_rng,
+        batch arrays) -> ((loss, (loss_dict, new_batch_stats)), grads)."""
         model, cfg = self.model, self.cfg
         has_bn = bool(jax.tree_util.tree_leaves(self.batch_stats))
 
-        def step(params, opt_state, batch_stats, rng, pixel_values, masks, classes, valid):
-            drop_rng, loss_rng, new_rng = jax.random.split(rng, 3)
+        def compute(params, batch_stats, drop_rng, loss_rng, pixel_values, masks, classes, valid):
             pixel_values = self._cast_bf16(pixel_values)
 
             def loss_fn(p):
@@ -188,7 +191,18 @@ class Trainer:
                 total, ld = mask2former_loss(cfg, out, masks, classes, valid, loss_rng)
                 return total, (ld, new_bs)
 
-            (loss, (ld, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        return compute
+
+    def _train_step_fn(self):
+        compute = self._loss_grads()
+
+        def step(params, opt_state, batch_stats, rng, pixel_values, masks, classes, valid):
+            drop_rng, loss_rng, new_rng = jax.random.split(rng, 3)
+            (loss, (ld, new_bs)), grads = compute(
+                params, batch_stats, drop_rng, loss_rng, pixel_values, masks, classes, valid
+            )
             updates, new_opt = self.tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             gnorm = optax.global_norm(grads)
@@ -215,6 +229,70 @@ class Trainer:
                 self.repl,
             ),
             donate_argnums=(0, 1, 2),
+        )
+
+    def _accum_step_fn(self):
+        """Gradient-accumulation micro-step: forward+backward, add the grads
+        into a donated accumulator tree (sharded like the params). The RNG
+        split is identical to the fused step's, so a ga=1 run and the first
+        micro-batch of a ga>1 run see the same dropout/point-sampling streams."""
+        compute = self._loss_grads()
+
+        def step(params, accum, batch_stats, rng, pixel_values, masks, classes, valid):
+            drop_rng, loss_rng, new_rng = jax.random.split(rng, 3)
+            (loss, (ld, new_bs)), grads = compute(
+                params, batch_stats, drop_rng, loss_rng, pixel_values, masks, classes, valid
+            )
+            new_accum = jax.tree.map(jnp.add, accum, grads)
+            return new_accum, new_bs, new_rng, loss
+
+        return jax.jit(
+            step,
+            in_shardings=(
+                self.param_sharding,
+                self.param_sharding,
+                self.repl,
+                self.repl,
+                self.data_sharding,
+                self.data_sharding,
+                self.data_sharding,
+                self.data_sharding,
+            ),
+            out_shardings=(self.param_sharding, self.repl, self.repl, self.repl),
+            donate_argnums=(1, 2),
+        )
+
+    def _apply_step_fn(self):
+        """Optimizer step on accumulated grads: exact mean over the `count`
+        micro-batches actually accumulated (epoch-end remainders divide by the
+        real count, not gradient_accumulation_steps), then the usual
+        clip-by-global-norm + AdamW. Returns a zeroed accumulator (the input
+        accumulator buffer is donated)."""
+
+        def step(params, opt_state, accum, count):
+            grads = jax.tree.map(lambda g: g / count, accum)
+            updates, new_opt = self.tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            gnorm = optax.global_norm(grads)
+            zero = jax.tree.map(jnp.zeros_like, accum)
+            return new_params, new_opt, gnorm, zero
+
+        return jax.jit(
+            step,
+            in_shardings=(self.param_sharding, self.opt_sharding, self.param_sharding, self.repl),
+            out_shardings=(self.param_sharding, self.opt_sharding, self.repl, self.param_sharding),
+            donate_argnums=(0, 1, 2),
+        )
+
+    def _zero_accum(self):
+        """Fresh gradient accumulator, sharded exactly like the params
+        (param_sharding is a single replicated sharding for pure DP, a
+        per-leaf tree under tensor parallelism)."""
+        sh = self.param_sharding
+        if isinstance(sh, NamedSharding):
+            return jax.tree.map(lambda p: jax.device_put(jnp.zeros(p.shape, jnp.float32), sh), self.params)
+        return jax.tree.map(
+            lambda p, s: jax.device_put(jnp.zeros(p.shape, jnp.float32), s), self.params, sh
         )
 
     def _eval_step_fn(self):
@@ -247,9 +325,10 @@ class Trainer:
         n = self.mesh.shape["data"]  # batch shards over the data axis only
         b = batch.pixel_values.shape[0]
         if b % n != 0:
-            # replicate-pad the batch so it shards evenly (extra rows have
-            # valid=False targets and their loss rows are still computed but the
-            # metric/eval ignores them; training batches are sized divisibly).
+            # replicate-pad the batch so it shards evenly; padded rows carry
+            # valid=False targets so they contribute no masks to the loss
+            # normalizer, and the metric/eval slices them off via real_b
+            # (training batches are sized divisibly).
             pad = n - (b % n)
             import numpy as _np
 
@@ -258,11 +337,13 @@ class Trainer:
 
             from ..data.pipeline import Batch
 
+            padded_valid = padrep(batch.valid)
+            padded_valid[b:] = False
             batch = Batch(
                 pixel_values=padrep(batch.pixel_values),
                 mask_labels=padrep(batch.mask_labels),
                 class_labels=padrep(batch.class_labels),
-                valid=padrep(batch.valid),
+                valid=padded_valid,
             )
         put = lambda x: jax.device_put(jnp.asarray(x), self.data_sharding)
         return (
@@ -292,12 +373,21 @@ class Trainer:
             self.batch_stats = state["batch_stats"]
             self.global_step = int(state["step"])
 
-        train_step = self._train_step_fn()
+        ga = max(1, args.gradient_accumulation_steps)
+        if ga == 1:
+            train_step = self._train_step_fn()
+            grad_step = apply_step = accum = None
+        else:
+            train_step = None
+            grad_step = self._accum_step_fn()
+            apply_step = self._apply_step_fn()
+            accum = self._zero_accum()
         steps_per_epoch = self._steps_per_epoch()
         start_epoch = self.global_step // steps_per_epoch
         t0 = time.time()
         rng = self.rng
         total_loss, loss_count = 0.0, 0
+        first_step_logged = False
 
         num_epochs = int(self.args.num_train_epochs)
         logger.info(
@@ -308,6 +398,7 @@ class Trainer:
         )
         for epoch in range(start_epoch, num_epochs):
             epoch_losses, epoch_gnorm = [], []
+            micro_in_step = 0
             for batch in self.train_dataset.batches(
                 args.per_device_train_batch_size,
                 shuffle=True,
@@ -318,22 +409,44 @@ class Trainer:
                 (px, mk, cl, vd), _ = self._put(batch)
                 if args.profile_start_step is not None and self.global_step == args.profile_start_step:
                     jax.profiler.start_trace(os.path.join(args.output_dir, "profile"))
-                self.params, self.opt_state, self.batch_stats, rng, loss, gnorm = train_step(
-                    self.params, self.opt_state, self.batch_stats, rng, px, mk, cl, vd
-                )
-                self.global_step += 1
+                if ga == 1:
+                    self.params, self.opt_state, self.batch_stats, rng, loss, gnorm = train_step(
+                        self.params, self.opt_state, self.batch_stats, rng, px, mk, cl, vd
+                    )
+                    self.global_step += 1
+                    epoch_gnorm.append(gnorm)
+                else:
+                    accum, self.batch_stats, rng, loss = grad_step(
+                        self.params, accum, self.batch_stats, rng, px, mk, cl, vd
+                    )
+                    micro_in_step += 1
+                    if micro_in_step == ga:
+                        self.params, self.opt_state, gnorm, accum = apply_step(
+                            self.params, self.opt_state, accum, jnp.float32(micro_in_step)
+                        )
+                        micro_in_step = 0
+                        self.global_step += 1
+                        epoch_gnorm.append(gnorm)
                 if args.profile_stop_step is not None and self.global_step == args.profile_stop_step:
                     jax.block_until_ready(loss)
                     jax.profiler.stop_trace()
                     logger.info("profiler trace written to %s/profile", args.output_dir)
                 epoch_losses.append(loss)
-                epoch_gnorm.append(gnorm)
-                if self.global_step == 1:
+                if not first_step_logged:
+                    first_step_logged = True
                     logger.info(
                         "first train step done (compile included) in %.1fs, loss=%.4f",
                         time.time() - t0,
                         float(loss),
                     )
+            if micro_in_step:
+                # epoch-end remainder: step on the exact mean of what was accumulated
+                self.params, self.opt_state, gnorm, accum = apply_step(
+                    self.params, self.opt_state, accum, jnp.float32(micro_in_step)
+                )
+                micro_in_step = 0
+                self.global_step += 1
+                epoch_gnorm.append(gnorm)
 
             mean_loss = float(jnp.mean(jnp.stack(epoch_losses)))
             total_loss += sum(float(l) for l in epoch_losses)

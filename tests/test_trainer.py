@@ -203,6 +203,79 @@ def test_tensor_parallel_step_matches_single_device(datasets, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+def test_gradient_accumulation_matches_mean_gradient(datasets, tmp_path):
+    """ga plumbing is exact: two accumulated micro-steps + apply equals one
+    AdamW update on the hand-computed mean of the two micro-batch gradients
+    (same _loss_grads function, same RNG split chain)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    train_ds, _ = datasets
+    cfg = ModelConfig.tiny(num_labels=3, version="0.0.0")
+    args = TrainingArguments(
+        output_dir=str(tmp_path / "runga"),
+        num_train_epochs=1,
+        per_device_train_batch_size=2,
+        gradient_accumulation_steps=2,
+        do_eval=False,
+        save_strategy="no",
+        seed=42,
+        num_devices=1,
+    )
+    trainer = Trainer(cfg, args, train_ds, None, {})
+    it = train_ds.batches(2)
+    b1, _ = trainer._put(next(it))
+    trainer._init_state(next(train_ds.batches(2)))
+    b2, _ = trainer._put(next(it))
+
+    # ---- manual expectation first (the step fns donate their buffers) ----
+    compute = jax.jit(trainer._loss_grads())
+    d1, l1rng, r1 = jax.random.split(trainer.rng, 3)
+    d2, l2rng, _ = jax.random.split(r1, 3)
+    (el1, _), g1 = compute(trainer.params, trainer.batch_stats, d1, l1rng, *b1)
+    (el2, _), g2 = compute(trainer.params, trainer.batch_stats, d2, l2rng, *b2)
+    mean_g = jax.tree.map(lambda a, b: (a + b) / 2.0, g1, g2)
+    updates, _ = trainer.tx.update(mean_g, trainer.opt_state, trainer.params)
+    expected = optax.apply_updates(trainer.params, updates)
+
+    # ---- the trainer's ga path ----
+    gstep = trainer._accum_step_fn()
+    astep = trainer._apply_step_fn()
+    accum = trainer._zero_accum()
+    accum, bs, rng, loss1 = gstep(trainer.params, accum, trainer.batch_stats, trainer.rng, *b1)
+    accum, bs, rng, loss2 = gstep(trainer.params, accum, bs, rng, *b2)
+    new_params, _, gnorm, _ = astep(trainer.params, trainer.opt_state, accum, jnp.float32(2))
+
+    np.testing.assert_allclose(float(loss1), float(el1), rtol=1e-6)
+    np.testing.assert_allclose(float(loss2), float(el2), rtol=1e-6)
+    assert np.isfinite(float(gnorm))
+    for a, b in zip(jax.tree.leaves(new_params), jax.tree.leaves(expected)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_gradient_accumulation_training_loop(datasets, tmp_path):
+    """Loop-level ga: 2 micro-batches/epoch with ga=3 forces the epoch-end
+    remainder flush; global_step counts optimizer steps (1 per epoch here)."""
+    train_ds, _ = datasets
+    cfg = ModelConfig.tiny(num_labels=3, version="0.0.0")
+    args = TrainingArguments(
+        output_dir=str(tmp_path / "runga_loop"),
+        num_train_epochs=2,
+        per_device_train_batch_size=2,
+        gradient_accumulation_steps=3,
+        do_eval=False,
+        save_strategy="no",
+        seed=42,
+        num_devices=1,
+    )
+    trainer = Trainer(cfg, args, train_ds, None, {})
+    metrics = trainer.train()
+    assert np.isfinite(metrics["train_loss"])
+    assert trainer.global_step == 2  # one remainder-flushed optimizer step per epoch
+    assert trainer._steps_per_epoch() == 1
+
+
 def test_same_seed_runs_are_identical(datasets, tmp_path):
     """Experiment-2 parity (SURVEY.md §4.1): the reference's de-facto unit test
     is running the same seeded config twice and asserting identical metrics
