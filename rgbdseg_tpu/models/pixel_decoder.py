@@ -24,7 +24,11 @@ import numpy as np
 
 from ..config import ModelConfig
 from ..ops.kernels import use_pallas
-from ..ops.kernels.deformable import tent_sample_level, tent_sample_level_xla
+from ..ops.kernels.deformable import (
+    tent_sample_level,
+    tent_sample_level_xla,
+    tent_sample_level_xla_separable,
+)
 from ..ops.resize import grid_sample_bilinear, resize_bilinear
 from .position import sine_position_embedding
 
@@ -118,6 +122,8 @@ class DeformableAttention(nn.Module):
                 gy = coords[..., 1] * h - 0.5
                 if use_pallas("deform"):
                     sampled = tent_sample_level(gx, gy, aw, vbh, h, w, False)
+                elif os.environ.get("RGBDSEG_TENT_SEPARABLE") == "1":
+                    sampled = tent_sample_level_xla_separable(gx, gy, aw, vbh, h, w)
                 else:
                     sampled = tent_sample_level_xla(gx, gy, aw, vbh, h, w)
                 out = out + sampled.reshape(b, nh, l, hd).astype(out.dtype)
@@ -195,7 +201,20 @@ class PixelDecoder(nn.Module):
         # (Step-time note: full-model fwd+bwd with a trivial loss measures
         # ~0.9 s at 640x480; the train-step wall time is dominated by the
         # criterion, not by this backward — see PERF.md.)
-        layer = nn.remat(EncoderLayer, static_argnums=(4,))
+        # RGBDSEG_REMAT A/B knob: "1" full remat (default), "dots" keep matmul
+        # outputs / recompute elementwise (checkpoint_dots_with_no_batch_dims),
+        # "0" no remat (memory permitting).
+        remat_mode = os.environ.get("RGBDSEG_REMAT", "1")
+        if remat_mode == "0":
+            layer = EncoderLayer
+        elif remat_mode == "dots":
+            layer = nn.remat(
+                EncoderLayer,
+                static_argnums=(4,),
+                policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+            )
+        else:
+            layer = nn.remat(EncoderLayer, static_argnums=(4,))
         for li in range(cfg.encoder_layers):
             x = layer(cfg, name=f"layer{li}")(x, pos, ref, shapes)
 

@@ -58,6 +58,27 @@ def tent_sample_level_xla(gx, gy, aw, v, h: int, w: int):
     return jnp.einsum("blk,bkd->bld", pmat, v).astype(jnp.float32)
 
 
+def tent_sample_level_xla_separable(gx, gy, aw, v, h: int, w: int):
+    """Separable variant of `tent_sample_level_xla` (A/B candidate, PERF.md).
+
+    Contracts x first — one (L*P, w) @ (w, h*hd) batched matmul per bh — then
+    does the tent-weighted y-reduce on the VPU. Trades the (BH, L, h, w) tent
+    VPU construction for P× more MXU FLOPs plus a materialized
+    (BH, L, P, h, hd) stage-1 intermediate; same math to f32 rounding.
+    Selected with RGBDSEG_TENT_SEPARABLE=1.
+    """
+    bh, l, npts = gx.shape
+    hd = v.shape[-1]
+    ycell = jnp.arange(h, dtype=jnp.float32)
+    xcell = jnp.arange(w, dtype=jnp.float32)
+    ty = jnp.maximum(0.0, 1.0 - jnp.abs(gy[..., None] - ycell))  # (BH, L, P, h)
+    tx = jnp.maximum(0.0, 1.0 - jnp.abs(gx[..., None] - xcell))  # (BH, L, P, w)
+    v4 = v.reshape(bh, h, w, hd).astype(jnp.float32)
+    s1 = jnp.einsum("blpx,byxd->blpyd", tx, v4)  # (BH, L, P, h, hd) on the MXU
+    awty = aw.astype(jnp.float32)[..., None] * ty  # (BH, L, P, h)
+    return jnp.einsum("blpy,blpyd->bld", awty, s1)
+
+
 def _tent_kernel(
     gx_ref, gy_ref, aw_ref, v_ref, out_ref, acc_ref, *, rows: int, lg: int, npts: int
 ):

@@ -67,6 +67,31 @@ def test_loss_and_gradients():
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+@pytest.mark.parametrize(
+    "env",
+    [{"RGBDSEG_TENT_SEPARABLE": "1"}, {"RGBDSEG_REMAT": "dots"}, {"RGBDSEG_REMAT": "0"}],
+)
+def test_perf_ab_variants_match_default(env, monkeypatch):
+    """The env-gated A/B formulations (separable tent sampling, remat policy
+    knob — models/pixel_decoder.py) must not change the math: forward and
+    gradients match the default path to f32 tolerance."""
+    cfg, model, x, variables = _make("0.0.0")
+    masks, classes, valid = _targets()
+
+    def loss_fn(params):
+        out = model.apply({"params": params}, x)
+        total, _ = mask2former_loss(cfg, out, masks, classes, valid, jax.random.PRNGKey(7))
+        return total
+
+    base_loss, base_grads = jax.value_and_grad(loss_fn)(variables["params"])
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    ab_loss, ab_grads = jax.value_and_grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(float(ab_loss), float(base_loss), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ab_grads), jax.tree.leaves(base_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
 def test_loss_deterministic_given_key():
     cfg, model, x, variables = _make("0.0.0")
     masks, classes, valid = _targets()

@@ -48,6 +48,16 @@ class TestTentSampleKernel:
         ref = jnp.einsum("blp,blpd->bld", aw, sampled)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
+    def test_separable_matches_xla_twin(self):
+        """tent_sample_level_xla_separable (RGBDSEG_TENT_SEPARABLE=1 path) is
+        the same contraction with x contracted first — identical to f32
+        rounding, including out-of-bounds points."""
+        gx, gy, aw, v = _tent_inputs()
+        h, w = 17, 23
+        ref = deformable.tent_sample_level_xla(gx, gy, aw, v, h, w)
+        out = deformable.tent_sample_level_xla_separable(gx, gy, aw, v, h, w)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
     def test_large_level_padding(self):
         """Non-multiple L and h*w exercise both padding paths."""
         gx, gy, aw, v = _tent_inputs(l=1337, h=30, w=40)
