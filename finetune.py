@@ -27,6 +27,10 @@ logger = logging.getLogger(__name__)
 
 
 def main(argv=None):
+    # Multi-host: no-op single-process; TPU pods auto-detect the cluster.
+    from rgbdseg_tpu.parallel.multihost import initialize
+
+    initialize()
     args, training_args = parse_args(argv)
     setup_logging()
     logger.info("Training/evaluation parameters %s", training_args)
@@ -67,6 +71,19 @@ def main(argv=None):
         metrics["test_samples"] = len(valid_ds)
         save_metrics(training_args.output_dir, "test", metrics)
         logger.info("test metrics: %s", json.dumps(metrics, indent=2))
+
+        # model card (reference: trainer.create_model_card, finetuning.py:141-149)
+        from rgbdseg_tpu.train.model_card import create_model_card
+
+        create_model_card(
+            training_args.output_dir,
+            model_name=os.path.basename(os.path.normpath(training_args.output_dir)),
+            training_args=training_args,
+            eval_metrics=metrics,
+            log_history=trainer.log_history,
+            base_model=args.model_name_or_path or None,
+            dataset_name=args.train_json_path,
+        )
 
         if args.prediction_json_path or args.gt_json_path or args.comparison_output_dir:
             from rgbdseg_tpu.inference.export import process_prediction

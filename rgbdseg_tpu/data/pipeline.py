@@ -110,7 +110,12 @@ class SegmentationDataset:
         drop_last: bool = False,
         num_workers: int = 4,
         epoch: int = 0,
+        local_rows: Optional[tuple[int, int]] = None,
     ) -> Iterator[Batch]:
+        """Yield fixed-shape batches. `local_rows=(start, stop)` restricts
+        assembly to that row block of every batch — the multi-host path
+        (parallel.multihost.host_row_range): every process iterates the same
+        deterministic global order but only decodes its own rows."""
         order = np.arange(len(self))
         if shuffle:
             order = np.random.RandomState(seed + epoch).permutation(order)
@@ -124,6 +129,8 @@ class SegmentationDataset:
                     continue
                 pad = order[: batch_size - len(chunk)]
                 chunk = np.concatenate([chunk, pad])
+            if local_rows is not None:
+                chunk = chunk[local_rows[0] : local_rows[1]]
             idx_batches.append(chunk)
 
         with futures.ThreadPoolExecutor(max_workers=num_workers) as pool:

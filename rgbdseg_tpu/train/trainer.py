@@ -138,10 +138,19 @@ class Trainer:
         self.opt_state = jax.tree.map(jax.device_put, opt_state, self.opt_sharding)
         self.total_steps = total_steps
 
+    @property
+    def _global_train_batch(self) -> int:
+        """HF semantics: per_device_train_batch_size × data-parallel width."""
+        return self.args.per_device_train_batch_size * self.mesh.shape["data"]
+
+    @property
+    def _global_eval_batch(self) -> int:
+        return self.args.per_device_eval_batch_size * self.mesh.shape["data"]
+
     def _steps_per_epoch(self) -> int:
         """Optimizer steps per epoch (micro-batches / gradient_accumulation)."""
         n = len(self.train_dataset) if self.train_dataset is not None else 1
-        micro = max(1, math.ceil(n / self.args.per_device_train_batch_size))
+        micro = max(1, math.ceil(n / self._global_train_batch))
         return max(1, math.ceil(micro / max(1, self.args.gradient_accumulation_steps)))
 
     # ------------------------------------------------------------------
@@ -321,8 +330,25 @@ class Trainer:
             ),
         )
 
-    def _put(self, batch):
+    def _put(self, batch, global_b: Optional[int] = None):
+        """Host batch -> sharded device arrays. Single-process: device_put over
+        the data axis (padding uneven batches). Multi-process: `batch` holds
+        only this host's `host_row_range` rows of the `global_b`-row batch and
+        the global array is assembled with make_array_from_process_local_data.
+        Returns ((pixel_values, masks, classes, valid), real_rows)."""
         n = self.mesh.shape["data"]  # batch shards over the data axis only
+        if jax.process_count() > 1:
+            from ..parallel.multihost import global_batch_array
+
+            if global_b is None or global_b % n:
+                raise ValueError("multi-host _put needs a data-axis-divisible global_b")
+            put = lambda x: global_batch_array(self.data_sharding, np.asarray(x), global_b)
+            return (
+                put(batch.pixel_values),
+                put(batch.mask_labels),
+                put(batch.class_labels),
+                put(batch.valid),
+            ), global_b
         b = batch.pixel_values.shape[0]
         if b % n != 0:
             # replicate-pad the batch so it shards evenly; padded rows carry
@@ -357,7 +383,7 @@ class Trainer:
     def train(self, resume_from_checkpoint: Optional[str] = None) -> dict:
         args = self.args
         os.makedirs(args.output_dir, exist_ok=True)
-        first = next(self.train_dataset.batches(args.per_device_train_batch_size))
+        first = next(self.train_dataset.batches(min(self._global_train_batch, len(self.train_dataset))))
         if self.params is None:
             self._init_state(first)
         if resume_from_checkpoint:
@@ -396,17 +422,26 @@ class Trainer:
             steps_per_epoch,
             self.mesh.devices.size,
         )
+        # Multi-host: every process iterates the same deterministic order but
+        # decodes only its host_row_range rows of each global batch.
+        local_rows = None
+        if jax.process_count() > 1:
+            from ..parallel.multihost import host_row_range
+
+            local_rows = host_row_range(self._global_train_batch, self.mesh)
+
         for epoch in range(start_epoch, num_epochs):
             epoch_losses, epoch_gnorm = [], []
             micro_in_step = 0
             for batch in self.train_dataset.batches(
-                args.per_device_train_batch_size,
+                self._global_train_batch,
                 shuffle=True,
                 seed=args.seed,
                 epoch=epoch,
                 num_workers=args.dataloader_num_workers,
+                local_rows=local_rows,
             ):
-                (px, mk, cl, vd), _ = self._put(batch)
+                (px, mk, cl, vd), _ = self._put(batch, global_b=self._global_train_batch)
                 if args.profile_start_step is not None and self.global_step == args.profile_start_step:
                     jax.profiler.start_trace(os.path.join(args.output_dir, "profile"))
                 if ga == 1:
@@ -505,11 +540,40 @@ class Trainer:
                 indent=2,
             )
 
+    def _host_np(self, x) -> np.ndarray:
+        """Global (possibly data-sharded) array -> full numpy on THIS host.
+        Single-process: plain np.asarray. Multi-process: shards on other hosts
+        are non-addressable, so all-gather them (every host gets the full
+        value and runs the identical host-side eval — no cross-host metric
+        reduction needed)."""
+        if jax.process_count() == 1:
+            return np.asarray(x)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+    def _put_eval(self, batch, global_b: int):
+        """Eval-path _put: in multi-process runs each host decodes the FULL
+        global batch (the evaluator needs every row's GT on every host), so
+        slice this host's row block before feeding the device."""
+        if jax.process_count() > 1:
+            from ..data.pipeline import Batch
+            from ..parallel.multihost import host_row_range
+
+            s, e = host_row_range(global_b, self.mesh)
+            batch = Batch(
+                pixel_values=batch.pixel_values[s:e],
+                mask_labels=batch.mask_labels[s:e],
+                class_labels=batch.class_labels[s:e],
+                valid=batch.valid[s:e],
+            )
+        return self._put(batch, global_b=global_b)
+
     # ------------------------------------------------------------------
     def evaluate(self, dataset=None, prefix: str = "eval_") -> dict:
         dataset = dataset or self.eval_dataset
         if self.params is None:
-            first = next(dataset.batches(self.args.per_device_eval_batch_size))
+            first = next(dataset.batches(min(self._global_eval_batch, len(dataset))))
             self._init_state(first)
         eval_step = self._compiled.setdefault("eval", self._eval_step_fn())
         evaluator = Evaluator(self.id2label, threshold=0.0)
@@ -517,8 +581,12 @@ class Trainer:
         t0 = time.time()
         n = 0
         rng = jax.random.PRNGKey(self.args.seed)
-        for batch in dataset.batches(self.args.per_device_eval_batch_size):
-            (px, mk, cl, vd), real_b = self._put(batch)
+        for bi, batch in enumerate(dataset.batches(self._global_eval_batch)):
+            # The pipeline pads the final partial chunk by repeating leading
+            # examples (static shapes); recover the real row count from the
+            # dataset length so the metric never sees duplicates.
+            real_b = min(self._global_eval_batch, len(dataset) - bi * self._global_eval_batch)
+            (px, mk, cl, vd), _ = self._put_eval(batch, self._global_eval_batch)
             cls_logits, mask_logits, loss = eval_step(self.params, self.batch_stats, rng, px, mk, cl, vd)
             losses.append(float(loss))
             from ..data.pipeline import Batch
@@ -529,7 +597,7 @@ class Trainer:
                 class_labels=np.asarray(batch.class_labels[:real_b]),
                 valid=np.asarray(batch.valid[:real_b]),
             )
-            evaluator.update(np.asarray(cls_logits[:real_b]), np.asarray(mask_logits[:real_b]), sub)
+            evaluator.update(self._host_np(cls_logits)[:real_b], self._host_np(mask_logits)[:real_b], sub)
             n += real_b
         runtime = time.time() - t0
         metrics = {prefix + "loss": float(np.mean(losses))}
@@ -543,10 +611,11 @@ class Trainer:
         eval_step = self._compiled.setdefault("eval", self._eval_step_fn())
         outputs = []
         rng = jax.random.PRNGKey(self.args.seed)
-        for batch in dataset.batches(self.args.per_device_eval_batch_size):
-            (px, mk, cl, vd), real_b = self._put(batch)
+        for bi, batch in enumerate(dataset.batches(self._global_eval_batch)):
+            real_b = min(self._global_eval_batch, len(dataset) - bi * self._global_eval_batch)
+            (px, mk, cl, vd), _ = self._put_eval(batch, self._global_eval_batch)
             cls_logits, mask_logits, _ = eval_step(self.params, self.batch_stats, rng, px, mk, cl, vd)
-            outputs.append((np.asarray(cls_logits[:real_b]), np.asarray(mask_logits[:real_b])))
+            outputs.append((self._host_np(cls_logits)[:real_b], self._host_np(mask_logits)[:real_b]))
         metrics = self.evaluate(dataset, prefix=prefix)
         return outputs, metrics
 

@@ -276,6 +276,34 @@ def test_gradient_accumulation_training_loop(datasets, tmp_path):
     assert trainer._steps_per_epoch() == 1
 
 
+def test_model_card(tmp_path):
+    """create_model_card writes an HF-Trainer-format card (YAML front matter,
+    eval bullets, hyperparameters, per-epoch results table) like the cards
+    shipped with the reference checkpoints."""
+    from rgbdseg_tpu.train.model_card import create_model_card
+
+    args = TrainingArguments(output_dir=str(tmp_path), num_train_epochs=2, seed=42)
+    log_history = [
+        {"loss": 10.5, "epoch": 1.0, "step": 3, "grad_norm": 1.0, "learning_rate": 1e-4},
+        {"eval_loss": 9.1, "eval_map": 0.12, "eval_map_50": 0.3, "epoch": 1.0, "step": 3},
+        {"loss": 8.2, "epoch": 2.0, "step": 6, "grad_norm": 0.9, "learning_rate": 5e-5},
+        {"eval_loss": 7.7, "eval_map": 0.2, "eval_map_50": 0.4, "epoch": 2.0, "step": 6},
+    ]
+    metrics = {"test_loss": 7.7, "test_map": 0.2, "test_map_50": 0.4, "test_runtime": 3.0}
+    path = create_model_card(
+        str(tmp_path), "my_run", args, metrics, log_history, dataset_name="train.json"
+    )
+    text = open(path).read()
+    assert text.startswith("---\nlibrary_name: rgbdseg_tpu")
+    assert "# my_run" in text
+    assert "- Map: 0.2" in text
+    assert "learning_rate" in text and "seed: 42" in text
+    assert "### Training results" in text
+    # both eval epochs present in the table, paired with their train loss
+    assert "| 10.5 | 1 | 3 | 9.1 | 0.12 | 0.3 |" in text
+    assert "| 8.2 | 2 | 6 | 7.7 | 0.2 | 0.4 |" in text
+
+
 def test_same_seed_runs_are_identical(datasets, tmp_path):
     """Experiment-2 parity (SURVEY.md §4.1): the reference's de-facto unit test
     is running the same seeded config twice and asserting identical metrics
