@@ -96,12 +96,16 @@ class DeformableAttention(nn.Module):
         # - small levels (hw <= _TENT_HW_MAX): bilinear sampling with zeros
         #   padding is EXACTLY a tent-weight contraction
         #   sum_{y,x} relu(1-|gy-y|) relu(1-|gx-x|) V[y,x], so the whole
-        #   (sample + attention-weight) reduction is one batched matmul
-        #   P (bh, L, hw) @ V (bh, hw, hd) on the MXU — no gather at all.
-        #   XLA fuses the tent construction into the matmul's operand
-        #   generation, so P is never fully resident; measured 3.9x faster
-        #   than gather, and faster than the hand-written Pallas version of
-        #   the same tiling (ops/kernels/deformable.py — opt-in via
+        #   (sample + attention-weight) reduction rides the MXU with no
+        #   gather at all. DEFAULT formulation: x-first separable contraction
+        #   (tent_sample_level_xla_separable) — contract the x-tents against V
+        #   as a matmul, then do the attention-weighted y-tent reduce; measured
+        #   49.4 vs 36.6 img/s inference and 7.18 vs 6.77 img/s train against
+        #   the fused-P variant (PERF.md 2026-08-18). RGBDSEG_TENT_SEPARABLE=0
+        #   opts back to the fused P (bh, L, hw) @ V (bh, hw, hd) construction
+        #   (tent_sample_level_xla, kept as the golden twin), which is still
+        #   faster than gather (3.9x) and than the hand-written Pallas version
+        #   of the same tiling (ops/kernels/deformable.py — opt-in via
         #   RGBDSEG_PALLAS, kept for ablation; measurements in
         #   ops/kernels/__init__.py).
         # - large levels: patch gather (ops.resize.grid_sample_bilinear);
@@ -122,10 +126,10 @@ class DeformableAttention(nn.Module):
                 gy = coords[..., 1] * h - 0.5
                 if use_pallas("deform"):
                     sampled = tent_sample_level(gx, gy, aw, vbh, h, w, False)
-                elif os.environ.get("RGBDSEG_TENT_SEPARABLE") == "1":
-                    sampled = tent_sample_level_xla_separable(gx, gy, aw, vbh, h, w)
-                else:
+                elif os.environ.get("RGBDSEG_TENT_SEPARABLE") == "0":
                     sampled = tent_sample_level_xla(gx, gy, aw, vbh, h, w)
+                else:
+                    sampled = tent_sample_level_xla_separable(gx, gy, aw, vbh, h, w)
                 out = out + sampled.reshape(b, nh, l, hd).astype(out.dtype)
             else:
                 vbh = v.transpose(0, 2, 1, 3).reshape(b * nh, h, w, hd)

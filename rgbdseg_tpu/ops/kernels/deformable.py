@@ -59,13 +59,15 @@ def tent_sample_level_xla(gx, gy, aw, v, h: int, w: int):
 
 
 def tent_sample_level_xla_separable(gx, gy, aw, v, h: int, w: int):
-    """Separable variant of `tent_sample_level_xla` (A/B candidate, PERF.md).
+    """Separable tent contraction — the DEFAULT sampling formulation.
 
     Contracts x first — one (L*P, w) @ (w, h*hd) batched matmul per bh — then
     does the tent-weighted y-reduce on the VPU. Trades the (BH, L, h, w) tent
     VPU construction for P× more MXU FLOPs plus a materialized
     (BH, L, P, h, hd) stage-1 intermediate; same math to f32 rounding.
-    Selected with RGBDSEG_TENT_SEPARABLE=1.
+    Measured vs the fused-P twin (`tent_sample_level_xla`,
+    RGBDSEG_TENT_SEPARABLE=0): 49.4 vs 36.6 img/s inference, 7.18 vs 6.77
+    img/s train at 640x480 v0.4.0 (PERF.md 2026-08-18).
     """
     bh, l, npts = gx.shape
     hd = v.shape[-1]

@@ -69,12 +69,13 @@ def test_loss_and_gradients():
 
 @pytest.mark.parametrize(
     "env",
-    [{"RGBDSEG_TENT_SEPARABLE": "1"}, {"RGBDSEG_REMAT": "dots"}, {"RGBDSEG_REMAT": "0"}],
+    [{"RGBDSEG_TENT_SEPARABLE": "0"}, {"RGBDSEG_REMAT": "dots"}, {"RGBDSEG_REMAT": "0"}],
 )
 def test_perf_ab_variants_match_default(env, monkeypatch):
-    """The env-gated A/B formulations (separable tent sampling, remat policy
-    knob — models/pixel_decoder.py) must not change the math: forward and
-    gradients match the default path to f32 tolerance."""
+    """The env-gated A/B formulations (fused-P tent sampling — the non-default
+    twin of the separable default — and the remat policy knob,
+    models/pixel_decoder.py) must not change the math: forward and gradients
+    match the default path to f32 tolerance."""
     cfg, model, x, variables = _make("0.0.0")
     masks, classes, valid = _targets()
 

@@ -49,9 +49,9 @@ class TestTentSampleKernel:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
     def test_separable_matches_xla_twin(self):
-        """tent_sample_level_xla_separable (RGBDSEG_TENT_SEPARABLE=1 path) is
-        the same contraction with x contracted first — identical to f32
-        rounding, including out-of-bounds points."""
+        """tent_sample_level_xla_separable (the default path) is the same
+        contraction as the fused-P twin with x contracted first — identical to
+        f32 rounding, including out-of-bounds points."""
         gx, gy, aw, v = _tent_inputs()
         h, w = 17, 23
         ref = deformable.tent_sample_level_xla(gx, gy, aw, v, h, w)

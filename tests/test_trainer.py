@@ -50,10 +50,16 @@ def test_train_eval_save_resume(datasets, tmp_path):
     assert np.isfinite(metrics["train_loss"])
     save_metrics(out_dir, "train", metrics)
 
+    # total_flos recorded like the reference's all_results.json (HF schema):
+    # 2 epochs x 2 steps of the same micro step -> 4x the per-step flop count
+    assert metrics["total_flos"] > 0
+    assert metrics["total_flos"] == trainer._flos_per_micro_step * 4
+
     # log_history written and parseable by the plot tooling
     assert os.path.exists(os.path.join(out_dir, "trainer_state.json"))
     with open(os.path.join(out_dir, "trainer_state.json")) as f:
         state = json.load(f)
+    assert state["total_flos"] == metrics["total_flos"]
     losses = [e["loss"] for e in state["log_history"] if "loss" in e]
     assert len(losses) == 2
     assert losses[-1] < losses[0] * 1.5  # training is not diverging
