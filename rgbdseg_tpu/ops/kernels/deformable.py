@@ -75,8 +75,14 @@ def tent_sample_level_xla_separable(gx, gy, aw, v, h: int, w: int):
     xcell = jnp.arange(w, dtype=jnp.float32)
     ty = jnp.maximum(0.0, 1.0 - jnp.abs(gy[..., None] - ycell))  # (BH, L, P, h)
     tx = jnp.maximum(0.0, 1.0 - jnp.abs(gx[..., None] - xcell))  # (BH, L, P, w)
-    v4 = v.reshape(bh, h, w, hd).astype(jnp.float32)
-    s1 = jnp.einsum("blpx,byxd->blpyd", tx, v4)  # (BH, L, P, h, hd) on the MXU
+    v4 = v.reshape(bh, h, w, hd)
+    # Stage-1 matmul in the VALUE dtype (bf16 in the mixed-precision path,
+    # matching the fused-P twin's product dtype) with f32 accumulation — the
+    # f32-operand version of this einsum was the single hottest op in the
+    # 640x480 frame profile (6 x 1.26 ms; PERF.md 2026-08-18).
+    s1 = jnp.einsum(
+        "blpx,byxd->blpyd", tx.astype(v.dtype), v4, preferred_element_type=jnp.float32
+    )  # (BH, L, P, h, hd) on the MXU
     awty = aw.astype(jnp.float32)[..., None] * ty  # (BH, L, P, h)
     return jnp.einsum("blpy,blpyd->bld", awty, s1)
 
