@@ -87,6 +87,21 @@ def _shift_attn_mask(hp: int, wp: int, ws: int, shift: int, zero) -> jnp.ndarray
     return jnp.where(diff != 0, -100.0, 0.0).astype(jnp.float32)
 
 
+class _DenseParams(nn.Module):
+    """Declare nn.Dense-compatible (kernel, bias) without applying them, so the
+    caller can fuse several projections into one matmul while keeping the
+    checkpoint tree identical to separate Dense modules."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,)) if self.use_bias else None
+        return kernel, bias
+
+
 class WindowAttention(nn.Module):
     dim: int
     num_heads: int
@@ -100,9 +115,19 @@ class WindowAttention(nn.Module):
         # x: (nB, N, C) with N = ws²; attn_mask: (nW, N, N) or None.
         nb, n, c = x.shape
         hd = c // self.num_heads
-        q = nn.Dense(c, use_bias=self.qkv_bias, name="query")(x)
-        k = nn.Dense(c, use_bias=self.qkv_bias, name="key")(x)
-        v = nn.Dense(c, use_bias=self.qkv_bias, name="value")(x)
+        # Fused QKV: one (C, 3C) matmul instead of three (C, C) ones — x is
+        # streamed from HBM once and the MXU sees a single wider tile. Params
+        # stay split as query/key/value to match the HF checkpoint layout.
+        wq, bq = _DenseParams(c, self.qkv_bias, name="query")(c)
+        wk, bk = _DenseParams(c, self.qkv_bias, name="key")(c)
+        wv, bv = _DenseParams(c, self.qkv_bias, name="value")(c)
+        w = jnp.concatenate([wq, wk, wv], axis=1)
+        # Match nn.Dense's promote_dtype(x, kernel) semantics.
+        ct = jnp.result_type(x.dtype, w.dtype)
+        qkv = x.astype(ct) @ w.astype(ct)
+        if self.qkv_bias:
+            qkv = qkv + jnp.concatenate([bq, bk, bv]).astype(ct)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
             return t.reshape(nb, n, self.num_heads, hd).transpose(0, 2, 1, 3)

@@ -49,15 +49,28 @@ def depth_histogram(depth: jnp.ndarray, bins: int = 512) -> tuple[jnp.ndarray, j
     # compare below drops them (cheaper than a second mask of the (N, bins)
     # one-hot).
     idx = jnp.where(finite, idx, bins)
-    # Compare-and-reduce instead of scatter-add: XLA:TPU serializes the
-    # scatter (measured 6.2 ms for 307K pixels / 512 bins at 640x480) while
-    # the fused one-hot compare + row reduction runs on the VPU (3.8 ms; the
-    # (N, bins) one-hot is never materialized). Counts are integers well
-    # below 2^24, exact in f32.
-    hist = jnp.sum(
-        (idx[:, None] == jnp.arange(bins, dtype=jnp.int32)).astype(jnp.float32),
-        axis=0,
+    # Coarse x fine one-hot factorization: hist[c*F + f] counts pixels whose
+    # bin splits as (coarse c, fine f), i.e. hist2d = onehot_coarse^T @
+    # onehot_fine — a single (C, N) @ (N, F) matmul on the MXU. This replaces
+    # N*bins VPU compares (measured 3.8 ms as a fused compare-reduce, 6.2 ms
+    # as a scatter-add, for 307K pixels / 512 bins at 640x480) with
+    # N*(C + F) compares (~10x fewer) plus a trivially small matmul.
+    # One-hots are exact 0/1 in bf16; accumulation in f32 is exact for
+    # counts < 2^24. NaNs carry idx == bins, whose coarse index C lies
+    # outside [0, C): their onehot_coarse row is all zero, so they drop out.
+    fine = 16
+    while bins % fine:
+        fine //= 2
+    coarse = bins // fine
+    oh_c = (idx[:, None] // fine == jnp.arange(coarse, dtype=jnp.int32)).astype(jnp.bfloat16)
+    oh_f = (idx[:, None] % fine == jnp.arange(fine, dtype=jnp.int32)).astype(jnp.bfloat16)
+    hist2d = jax.lax.dot_general(
+        oh_c,
+        oh_f,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
+    hist = hist2d.reshape(bins)
     return hist, lo, width
 
 

@@ -29,6 +29,7 @@ The backward pass reuses the VJP of the jnp twin (`tent_sample_level_xla`) via
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -80,11 +81,16 @@ def tent_sample_level_xla_separable(gx, gy, aw, v, h: int, w: int):
     # matching the fused-P twin's product dtype) with f32 accumulation — the
     # f32-operand version of this einsum was the single hottest op in the
     # 640x480 frame profile (6 x 1.26 ms; PERF.md 2026-08-18).
+    # Stage-1 output dtype: each element is a <=2-term convex combination of v
+    # (the x-tent has support <= 2 cells), so emitting bf16 loses no more than
+    # bf16-rounding v itself — but halves the HBM traffic of the (BH, L, P, h,
+    # hd) intermediate when XLA materializes it. A/B knob, default f32.
+    s1_dtype = jnp.bfloat16 if os.environ.get("RGBDSEG_TENT_S1_BF16") == "1" else jnp.float32
     s1 = jnp.einsum(
-        "blpx,byxd->blpyd", tx.astype(v.dtype), v4, preferred_element_type=jnp.float32
+        "blpx,byxd->blpyd", tx.astype(v.dtype), v4, preferred_element_type=s1_dtype
     )  # (BH, L, P, h, hd) on the MXU
     awty = aw.astype(jnp.float32)[..., None] * ty  # (BH, L, P, h)
-    return jnp.einsum("blpy,blpyd->bld", awty, s1)
+    return jnp.einsum("blpy,blpyd->bld", awty, s1, preferred_element_type=jnp.float32)
 
 
 def _tent_kernel(

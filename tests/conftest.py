@@ -17,6 +17,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite jits hundreds of programs and this box
+# may have a single CPU core — cold-compiling everything takes >30 min, cached
+# reruns minutes. Cache entries key on HLO + flags, so correctness is safe.
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 # This JAX build's DEFAULT matmul/conv precision loses ~1e-3 accuracy even on
 # CPU; numerics/parity tests need true f32 accumulation.
 jax.config.update("jax_default_matmul_precision", "float32")
