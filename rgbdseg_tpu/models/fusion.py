@@ -116,12 +116,16 @@ class DSAModule(nn.Module):
 
     @nn.compact
     def __call__(self, features, masks, active):
-        # features: (B, H, W, Cin); masks: (B, T+1, Hd, Wd); active: (B, T+1)
+        # features: (B, H, W, Cin); masks: (B, H, W, T+1) ALREADY max-pooled to
+        # the feature resolution (the cascade chain-pools them once per stage);
+        # active: (B, T+1). Masks/active are 0/1 — cast to the compute dtype so
+        # the f32 decomposition doesn't promote the region convs to f32 under
+        # bf16 mixed precision (0/1 is exact in bf16).
         b, h, w, _ = features.shape
         strided = self.in_channels != self.out_channels
         enhanced = None
         for i in range(self.num_regions + 1):
-            m = adaptive_max_pool2d(masks[:, i][..., None], (h, w))
+            m = masks[..., i : i + 1].astype(features.dtype)
             masked = features * m
             if strided:
                 y = nn.Conv(
@@ -129,7 +133,7 @@ class DSAModule(nn.Module):
                 )(masked)
             else:
                 y = nn.Conv(self.out_channels, (1, 1), name=f"conv{i}")(masked)
-            y = y * active[:, i][:, None, None, None]
+            y = y * active[:, i][:, None, None, None].astype(y.dtype)
             enhanced = y if enhanced is None else enhanced + y
         if strided:
             proj = nn.Conv(
@@ -164,14 +168,23 @@ class DSAMCascade(nn.Module):
             gray, ratio, num_modes=self.num_regions, bins=self.hist_bins, prominence_frac=self.prominence
         )
         maps = list(color_maps)
+        # Chain-pool the region masks down the pyramid: stage k needs them at
+        # maps[k]'s resolution, and max-pooling the previous stage's pooled
+        # masks is exact when the sizes divide (uniform windows compose) —
+        # the full-res (B, H, W, T+1) tensor is then read once, not 3 times.
+        mk_full = masks.transpose(0, 2, 3, 1)  # (B, H, W, T+1)
+        mk = mk_full
         for k in range(3):
+            th, tw = maps[k].shape[1:3]
+            src = mk if (mk.shape[1] % th == 0 and mk.shape[2] % tw == 0) else mk_full
+            mk = adaptive_max_pool2d(src, (th, tw))
             dsam = DSAModule(
                 in_channels=self.channels[k],
                 out_channels=self.channels[k + 1],
                 num_regions=self.num_regions,
                 name=f"dsam{k}",
             )
-            maps[k + 1] = maps[k + 1] + dsam(maps[k], masks, active)
+            maps[k + 1] = maps[k + 1] + dsam(maps[k], mk, active)
         return maps
 
 

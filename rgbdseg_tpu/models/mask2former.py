@@ -146,6 +146,13 @@ class PixelLevelModule(nn.Module):
                 maps = FeatureFuser(name="feature_fuser")(maps, depth_maps)
             fused_maps = maps
 
+        # Keep the pixel decoder in the backbone compute dtype: DSAM's region
+        # masks are f32 by design (ops/depth_decomp.py upcasts for exact
+        # histogram/peak numerics), which silently promoted the fused maps —
+        # and with them ALL 6 deformable encoder layers, the FPN, and the
+        # transformer decoder — to f32 even under bf16 mixed precision.
+        # Measured on chip (640x480 v0.4.0 bf16): train 6.9 -> 8.8+ img/s.
+        fused_maps = [m.astype(color_maps[0].dtype) for m in fused_maps]
         mask_features, multi_scale = PixelDecoder(cfg, name="pixel_decoder")(fused_maps)
         return mask_features, multi_scale
 

@@ -189,8 +189,11 @@ class PixelDecoder(nn.Module):
             x = nn.GroupNorm(num_groups=32, name=f"input_proj{i}_norm")(x)
             b, h, w, _ = x.shape
             embeds.append(x.reshape(b, h * w, d))
-            # traced zero: keeps the (H, W, d) embedding in-graph, not a literal
-            pos = sine_position_embedding(h, w, d // 2, zero=x.ravel()[0] * 0)
+            # traced zero: keeps the (H, W, d) embedding in-graph, not a literal.
+            # Cast to the compute dtype: the f32 sine embedding would otherwise
+            # promote `hidden + pos` (and the offsets/weights projections fed
+            # from it) to f32 under bf16 mixed precision.
+            pos = sine_position_embedding(h, w, d // 2, zero=x.ravel()[0] * 0).astype(x.dtype)
             poses.append(pos.reshape(1, h * w, d) + level_embed[i][None, None])
             shapes.append((h, w))
 

@@ -133,7 +133,15 @@ class WindowAttention(nn.Module):
             return t.reshape(nb, n, self.num_heads, hd).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q * (hd**-0.5), k)
+        # Scores, bias add, and softmax in f32 (the shift mask's -100 additive
+        # bias and softmax want full range); probabilities cast back to the
+        # compute dtype for the PV matmul. Without the final cast, the f32
+        # shift mask silently promoted every shifted block — and everything
+        # downstream of it, i.e. the whole model — to f32 under bf16 mixed
+        # precision.
+        attn = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * (hd**-0.5), k, preferred_element_type=jnp.float32
+        )
 
         rpb_table = self.param(
             "relative_position_bias_table",
@@ -142,7 +150,7 @@ class WindowAttention(nn.Module):
         )
         rpi = jnp.asarray(_relative_position_index(self.window_size).reshape(-1))
         bias = rpb_table[rpi].reshape(n, n, self.num_heads).transpose(2, 0, 1)
-        attn = attn + bias[None]
+        attn = attn + bias[None].astype(jnp.float32)
 
         if attn_mask is not None:
             nw = attn_mask.shape[0]
@@ -150,7 +158,7 @@ class WindowAttention(nn.Module):
             attn = attn + attn_mask[None, :, None]
             attn = attn.reshape(nb, self.num_heads, n, n)
 
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(nb, n, c)
         out = nn.Dense(c, name="proj")(out)

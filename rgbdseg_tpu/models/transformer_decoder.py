@@ -71,8 +71,10 @@ class MultiheadAttention(nn.Module):
             else:
                 out = masked_cross_attention_xla(q, k, v, mask_logits, all_blocked)
         else:
-            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
-            attn = jax.nn.softmax(logits, axis=-1)
+            # Softmax in f32, probabilities back in the compute dtype (same
+            # policy as masked_cross_attention_xla).
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         return nn.Dense(self.dim, name="out_proj")(_merge_heads(out))
 
@@ -153,9 +155,13 @@ class TransformerModule(nn.Module):
             _, h, w, _ = f.shape
             sizes.append((h, w))
             memories.append(f.reshape(b, h * w, d) + level_embed[i][None, None])
-            # traced zero: keeps the (H, W, d) embedding in-graph, not a literal
+            # traced zero: keeps the (H, W, d) embedding in-graph, not a
+            # literal; cast so the f32 sine embedding doesn't promote
+            # `memory + memory_pos` to f32 under bf16 mixed precision.
             memory_poses.append(
-                sine_position_embedding(h, w, d // 2, zero=f.ravel()[0] * 0).reshape(1, h * w, d)
+                sine_position_embedding(h, w, d // 2, zero=f.ravel()[0] * 0)
+                .astype(f.dtype)
+                .reshape(1, h * w, d)
             )
 
         query_pos = jnp.broadcast_to(queries_embedder[None], (b, cfg.num_queries, d))

@@ -84,8 +84,16 @@ def tent_sample_level_xla_separable(gx, gy, aw, v, h: int, w: int):
     # Stage-1 output dtype: each element is a <=2-term convex combination of v
     # (the x-tent has support <= 2 cells), so emitting bf16 loses no more than
     # bf16-rounding v itself — but halves the HBM traffic of the (BH, L, P, h,
-    # hd) intermediate when XLA materializes it. A/B knob, default f32.
-    s1_dtype = jnp.bfloat16 if os.environ.get("RGBDSEG_TENT_S1_BF16") == "1" else jnp.float32
+    # hd) intermediate when XLA materializes it (it always does in training,
+    # where the intermediate is saved for the backward). Default: follow
+    # v.dtype — bf16 stage-1 in the mixed-precision path (A/B on chip, 640x480
+    # v0.4.0: train 7.20 -> 8.30 img/s, inference 50.8 -> 51.0), exact f32 in
+    # the f32 path. RGBDSEG_TENT_S1_BF16=1/0 forces either for measurement.
+    force = os.environ.get("RGBDSEG_TENT_S1_BF16")
+    if force is not None:
+        s1_dtype = jnp.bfloat16 if force == "1" else jnp.float32
+    else:
+        s1_dtype = jnp.bfloat16 if v.dtype == jnp.bfloat16 else jnp.float32
     s1 = jnp.einsum(
         "blpx,byxd->blpyd", tx.astype(v.dtype), v4, preferred_element_type=s1_dtype
     )  # (BH, L, P, h, hd) on the MXU

@@ -270,8 +270,11 @@ def mask2former_loss(
     if not cfg.use_auxiliary_loss:
         all_cls, all_msk = all_cls[-1:], all_msk[-1:]
     n_layers = len(all_cls)
-    cls_stack = jnp.stack(all_cls)
-    msk_stack = jnp.stack(all_msk)
+    # Criterion numerics stay f32 regardless of the model compute dtype
+    # (mixed-precision forwards emit bf16 logits; softmax/BCE/dice and the
+    # matcher costs need f32).
+    cls_stack = jnp.stack(all_cls).astype(jnp.float32)
+    msk_stack = jnp.stack(all_msk).astype(jnp.float32)
     rngs = jax.random.split(rng, n_layers)
 
     # Match ALL layers in one batched call before the scan. The Hungarian
