@@ -28,6 +28,47 @@ import numpy as np
 REFERENCE_THROUGHPUT = 0.61  # images/s, reference 640² eval on 1x GPU
 REFERENCE_TRAIN_THROUGHPUT = 0.973  # images/s, reference 640² train on 1x GPU
 
+# Peak dense bf16 FLOP/s per chip by device kind (public TPU specs) for MFU.
+_PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5": 459e12,  # v5p
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5e": 197e12,
+    "TPU v6 lite": 918e12,  # v6e / Trillium
+    "TPU v6e": 918e12,
+    "TPU v7": 4614e12,
+}
+
+
+def _aot(jitted, example_args):
+    """AOT-compile once; returns (callable, flops_per_call). The same
+    executable is used for timing AND cost analysis (no second compile)."""
+    try:
+        compiled = jitted.lower(*example_args).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0] if analysis else {}
+        flops = float(analysis.get("flops", 0.0)) if analysis else 0.0
+        return compiled, flops
+    except Exception:
+        return jitted, 0.0
+
+
+def _mfu_fields(flops_per_call: float, images_per_sec: float, batch: int) -> dict:
+    """Executable FLOPs / device peak → MFU (VERDICT #7: the AOT flop count
+    already feeds total_flos in train/trainer.py:_aot_step; here it
+    justifies/retires kernel work)."""
+    if flops_per_call <= 0:
+        return {}
+    tflops = flops_per_call * images_per_sec / batch / 1e12
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in _PEAK_BF16.items() if kind.startswith(k)), None)
+    out = {"tflops_per_sec": round(tflops, 2)}
+    if peak:
+        out["mfu"] = round(tflops * 1e12 / peak, 4)
+        out["device_kind"] = kind
+    return out
+
 
 def bench_train():
     """Full training-step throughput (fwd + matcher + losses + bwd + AdamW)."""
@@ -70,8 +111,6 @@ def bench_train():
         updates, new_opt = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_opt, new_bs, loss
 
-    step = jax.jit(train_step, donate_argnums=(0, 1, 2))
-
     iters = int(os.environ.get("BENCH_ITERS", "6"))
     batches = []
     for _ in range(iters + 1):
@@ -81,6 +120,10 @@ def bench_train():
         valid = jnp.ones((batch, t), bool)
         batches.append((px, masks, classes, valid))
 
+    step, flops_per_call = _aot(
+        jax.jit(train_step, donate_argnums=(0, 1, 2)),
+        (params, opt_state, batch_stats, *batches[0]),
+    )
     params, opt_state, batch_stats, loss = step(params, opt_state, batch_stats, *batches[0])
     jax.block_until_ready(loss)
     t0 = time.perf_counter()
@@ -97,6 +140,7 @@ def bench_train():
                 "value": round(images_per_sec, 3),
                 "unit": "images/sec",
                 "vs_baseline": round(images_per_sec / REFERENCE_TRAIN_THROUGHPUT, 2),
+                **_mfu_fields(flops_per_call, images_per_sec, batch),
             }
         )
     )
@@ -128,7 +172,7 @@ def main():
     )
 
     @jax.jit
-    def forward(px):
+    def forward_jit(px):
         out = model.apply(variables, px, deterministic=True)
         return out.class_queries_logits, out.masks_queries_logits
 
@@ -137,6 +181,8 @@ def main():
     # measures cache hits, not compute.
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     xs = [jnp.asarray(rng.rand(batch, h, w, 10), dtype) for _ in range(iters)]
+
+    forward, flops_per_call = _aot(forward_jit, (xs[0],))
 
     # Warmup / compile.
     out = forward(xs[0])
@@ -155,6 +201,7 @@ def main():
                 "value": round(images_per_sec, 3),
                 "unit": "images/sec",
                 "vs_baseline": round(images_per_sec / REFERENCE_THROUGHPUT, 2),
+                **_mfu_fields(flops_per_call, images_per_sec, batch),
             }
         )
     )

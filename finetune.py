@@ -85,6 +85,12 @@ def main(argv=None):
             dataset_name=args.train_json_path,
         )
 
+        # hub push (reference: finetuning.py:141-149 trainer.push_to_hub)
+        if training_args.push_to_hub:
+            from rgbdseg_tpu.train.hub import push_to_hub
+
+            push_to_hub(training_args.output_dir, repo_id=training_args.hub_model_id)
+
         if args.prediction_json_path or args.gt_json_path or args.comparison_output_dir:
             from rgbdseg_tpu.inference.export import process_prediction
 

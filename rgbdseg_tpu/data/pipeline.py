@@ -35,6 +35,10 @@ class Batch:
     mask_labels: np.ndarray  # (B, T, H, W) float32
     class_labels: np.ndarray  # (B, T) int32
     valid: np.ndarray  # (B, T) bool
+    # per-example original (pre-resize) image sizes (B, 2) int32 — the
+    # reference post-processes/exports at these sizes (predictor.py:692-703,
+    # resize_masks_to_original_size :1068-1125)
+    orig_sizes: Optional[np.ndarray] = None
 
 
 def load_meta(path: str, root: Optional[str] = None) -> list[dict]:
@@ -79,9 +83,39 @@ class SegmentationDataset:
         self._cache: Optional[dict[int, tuple]] = {} if cache else None
         self._cache_bytes = 0
         self._cache_bytes_limit = cache_bytes_limit
+        self._warned_truncation = False
 
     def __len__(self) -> int:
         return len(self.records)
+
+    def original_size(self, idx: int) -> tuple[int, int]:
+        """(height, width) of the raw (pre-resize) RGB image — a header-only
+        read, cached. Reference: get_original_image_sizes_from_image_list
+        (predictor.py:692)."""
+        if not hasattr(self, "_orig_sizes"):
+            self._orig_sizes: dict[int, tuple[int, int]] = {}
+        if idx not in self._orig_sizes:
+            img = self.records[idx]["image"]
+            img = img[0] if isinstance(img, (list, tuple)) else img
+            if isinstance(img, str):
+                from PIL import Image
+
+                with Image.open(img) as im:
+                    w, h = im.size
+            else:
+                h, w = np.asarray(img).shape[:2]
+            self._orig_sizes[idx] = (int(h), int(w))
+        return self._orig_sizes[idx]
+
+    def original_rgb(self, idx: int) -> np.ndarray:
+        """Raw RGB image at its original size (for original-size overlays)."""
+        img = self.records[idx]["image"]
+        img = img[0] if isinstance(img, (list, tuple)) else img
+        if isinstance(img, str):
+            from PIL import Image
+
+            return np.asarray(Image.open(img).convert("RGB"))
+        return np.asarray(img)
 
     def __getitem__(self, idx: int):
         if self._cache is not None and idx in self._cache:
@@ -89,6 +123,22 @@ class SegmentationDataset:
         pix, masks, labels = self.map_fn(self.records[idx], self.preprocess)
         t = self.max_instances
         n = min(masks.shape[0], t)
+        if masks.shape[0] > t and not self._warned_truncation:
+            # The reference keeps ragged instance lists and never drops GT
+            # (dataloader.py:772-780); our static padding must not do so
+            # silently. Raise --max_instances to cover the dataset.
+            self._warned_truncation = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "example %d has %d instances but max_instances=%d — %d GT "
+                "instance(s) TRUNCATED (raise max_instances; this warning "
+                "prints once per dataset)",
+                idx,
+                masks.shape[0],
+                t,
+                masks.shape[0] - t,
+            )
         h, w = pix.shape[:2]
         pm = np.zeros((t, h, w), np.float32)
         pc = np.zeros((t,), np.int32)
@@ -162,6 +212,9 @@ class SegmentationDataset:
             mask_labels=np.stack([i[1] for i in items]),
             class_labels=np.stack([i[2] for i in items]),
             valid=np.stack([i[3] for i in items]),
+            orig_sizes=np.array(
+                [self.original_size(int(i)) for i in indices], np.int32
+            ),
         )
 
 

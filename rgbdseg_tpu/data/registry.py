@@ -80,18 +80,43 @@ def _cv2_resize_linear(img: np.ndarray, size_hw) -> np.ndarray:
     return cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
 
 
-def map_3channel(example, cfg: PreprocessConfig):
+# Augmentation extension point (reference: dataloader.py:19 `no_augment_and_
+# transform = A.Compose([A.NoOp()])`, applied jointly to the color image and
+# the 3-channel annotation mask in every map fn, e.g. :27, :61, :140). The
+# default is a NoOp, exactly like the reference; install an albumentations-
+# style callable with set_transform(). Depth/derived channels are built from
+# the UNtransformed images on both sides (same reference limitation).
+TRANSFORM = None
+
+
+def set_transform(fn) -> None:
+    """fn(image=rgb_uint8, mask=mask3ch) -> {"image": ..., "mask": ...} or
+    None to disable (NoOp)."""
+    global TRANSFORM
+    TRANSFORM = fn
+
+
+def _color_and_mask(example) -> tuple[np.ndarray, np.ndarray]:
+    color = _rgb(example["image"])
     mask = _load_mask(example["annotation"])
+    if TRANSFORM is not None:
+        out = TRANSFORM(image=color, mask=mask)
+        color, mask = np.asarray(out["image"]), np.asarray(out["mask"])
+    return color, mask
+
+
+def map_3channel(example, cfg: PreprocessConfig):
+    color_raw, mask = _color_and_mask(example)
     instance_map, mapping = _mask_and_mapping(mask)
-    pix = process_image(_rgb(example["image"]), cfg)
+    pix = process_image(color_raw, cfg)
     masks, labels = _labels(instance_map, mapping, cfg)
     return pix, masks, labels
 
 
 def map_6channel(example, cfg: PreprocessConfig):
-    mask = _load_mask(example["annotation"])
+    color_raw, mask = _color_and_mask(example)
     instance_map, mapping = _mask_and_mapping(mask)
-    color = process_image(_rgb(example["image"]), cfg)
+    color = process_image(color_raw, cfg)
     depth = process_image(_depth_rgb(example["image"]), cfg)
     masks, labels = _labels(instance_map, mapping, cfg)
     return np.concatenate([color, depth], axis=-1), masks, labels
@@ -99,9 +124,8 @@ def map_6channel(example, cfg: PreprocessConfig):
 
 def map_7channel_tmp(example, cfg: PreprocessConfig):
     """RGB + gradient-depth image (already on disk) + >50 validity mask."""
-    mask = _load_mask(example["annotation"])
+    color_raw, mask = _color_and_mask(example)
     instance_map, mapping = _mask_and_mapping(mask)
-    color_raw = _rgb(example["image"])
     grad_raw = _depth_rgb(example["image"])
     color = process_image(color_raw, cfg)
     grad = process_image(grad_raw, cfg)
@@ -113,9 +137,9 @@ def map_7channel_tmp(example, cfg: PreprocessConfig):
 
 def map_7channel_g(example, cfg: PreprocessConfig):
     """RGB + Sobel-magnitude of gray depth (uint8, 3x replicated) + >50 mask."""
-    mask = _load_mask(example["annotation"])
+    color_raw, mask = _color_and_mask(example)
     instance_map, mapping = _mask_and_mapping(mask)
-    color = process_image(_rgb(example["image"]), cfg)
+    color = process_image(color_raw, cfg)
     gray = _depth_gray(example["image"])
     gm = compute_depth_gradient(gray).astype(np.uint8)
     grad3 = np.stack([gm, gm, gm], axis=2)
@@ -128,9 +152,9 @@ def map_7channel_g(example, cfg: PreprocessConfig):
 
 def map_7channel_g2(example, cfg: PreprocessConfig):
     """RGB + normalized gradient features of the *resized* gray depth (raw)."""
-    mask = _load_mask(example["annotation"])
+    color_raw, mask = _color_and_mask(example)
     instance_map, mapping = _mask_and_mapping(mask)
-    color = process_image(_rgb(example["image"]), cfg)
+    color = process_image(color_raw, cfg)
     gray = _cv2_resize_linear(_depth_gray(example["image"]), output_size(cfg))
     norm_mag, _, _, valid = calculate_gradient_features(gray)
     grad = np.stack([norm_mag] * 3, axis=-1)
@@ -140,9 +164,9 @@ def map_7channel_g2(example, cfg: PreprocessConfig):
 
 def map_7channel_s(example, cfg: PreprocessConfig):
     """RGB + surface normals of resized gray depth (raw) + validity mask."""
-    mask = _load_mask(example["annotation"])
+    color_raw, mask = _color_and_mask(example)
     instance_map, mapping = _mask_and_mapping(mask)
-    color = process_image(_rgb(example["image"]), cfg)
+    color = process_image(color_raw, cfg)
     gray = _cv2_resize_linear(_depth_gray(example["image"]), output_size(cfg))
     normals, valid = calculate_surface_normals(gray)
     masks, labels = _labels(instance_map, mapping, cfg)
@@ -151,9 +175,9 @@ def map_7channel_s(example, cfg: PreprocessConfig):
 
 def map_7channel_s2(example, cfg: PreprocessConfig):
     """RGB + raw resized gray depth channel (version 0.0.7 input)."""
-    mask = _load_mask(example["annotation"])
+    color_raw, mask = _color_and_mask(example)
     instance_map, mapping = _mask_and_mapping(mask)
-    color = process_image(_rgb(example["image"]), cfg)
+    color = process_image(color_raw, cfg)
     gray = _cv2_resize_linear(_depth_gray(example["image"]), output_size(cfg)).astype(np.float32)
     masks, labels = _labels(instance_map, mapping, cfg)
     return np.concatenate([color, gray[..., None]], axis=-1), masks, labels
@@ -161,9 +185,9 @@ def map_7channel_s2(example, cfg: PreprocessConfig):
 
 def map_10channel_case1(example, cfg: PreprocessConfig):
     """RGB + depth + gradient-depth (all on disk) + >50 validity mask."""
-    mask = _load_mask(example["annotation"])
+    color_raw, mask = _color_and_mask(example)
     instance_map, mapping = _mask_and_mapping(mask)
-    color = process_image(_rgb(example["image"]), cfg)
+    color = process_image(color_raw, cfg)
     depth = process_image(_depth_rgb(example["image"], 1), cfg)
     grad_raw = _depth_rgb(example["image"], 2)
     grad = process_image(grad_raw, cfg)
@@ -176,9 +200,9 @@ def map_10channel_case1(example, cfg: PreprocessConfig):
 def map_10channel_case2(example, cfg: PreprocessConfig):
     """Final-model (0.4.0) input: RGB + depth + gradient features of resized
     gray depth + validity mask (reference: dataloader.py:386-425)."""
-    mask = _load_mask(example["annotation"])
+    color_raw, mask = _color_and_mask(example)
     instance_map, mapping = _mask_and_mapping(mask)
-    color = process_image(_rgb(example["image"]), cfg)
+    color = process_image(color_raw, cfg)
     depth = process_image(_depth_rgb(example["image"], 1), cfg)
     gray = _cv2_resize_linear(_depth_gray(example["image"], 1), output_size(cfg))
     norm_mag, _, _, valid = calculate_gradient_features(gray)
@@ -190,10 +214,10 @@ def map_10channel_case2(example, cfg: PreprocessConfig):
 def map_30channel(example, cfg: PreprocessConfig):
     """NYU ultra path: RGB + depth + CSF-fusion of 8 augmentation modalities
     (reference: dataloader.py:88-129 + nyu_ultra_preprocess :743-759)."""
-    mask = _load_mask(example["annotation"])
+    color_raw, mask = _color_and_mask(example)
     instance_map, mapping = _mask_and_mapping(mask)
     imgs = [np.asarray(_load_image(p).convert("RGB")) for p in example["image"]]
-    color = process_image(imgs[0], cfg)
+    color = process_image(color_raw, cfg)
     depth = process_image(imgs[1], cfg)
     aug = np.stack(imgs[2:10])  # uint8; CSF returns the input dtype like the
     # reference (data_process.py:919 casts back to the original dtype)

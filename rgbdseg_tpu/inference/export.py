@@ -38,10 +38,18 @@ def predictions_to_json(results: list[dict], image_ids: list) -> list[dict]:
 
 
 def gt_to_json(dataset, image_ids: Optional[list] = None) -> list[dict]:
+    """GT masks nearest-resized to each example's ORIGINAL pre-resize size,
+    exactly like the reference (resize_masks_to_original_size,
+    predictor.py:1068-1125 with mode='nearest', wired at :693,738)."""
     records = []
     for i in range(len(dataset)):
         _, masks, classes, valid = dataset[i]
         img_id = image_ids[i] if image_ids else i
+        orig = _original_size(dataset, i, masks.shape[-2:])
+        if tuple(orig) != tuple(masks.shape[-2:]):
+            from .postprocess import _resize_nearest_np
+
+            masks = _resize_nearest_np(masks.astype(np.float32), orig)
         for m, c, v in zip(masks, classes, valid):
             if not v:
                 continue
@@ -54,6 +62,11 @@ def gt_to_json(dataset, image_ids: Optional[list] = None) -> list[dict]:
                 }
             )
     return records
+
+
+def _original_size(dataset, idx: int, fallback) -> tuple[int, int]:
+    fn = getattr(dataset, "original_size", None)
+    return tuple(fn(idx)) if fn is not None else tuple(fallback)
 
 
 def match_predictions_to_gt(pred_masks, gt_masks, iou_threshold: float = 0.5):
@@ -94,7 +107,9 @@ def process_prediction(
     threshold: float = 0.5,
 ) -> list[dict]:
     """Reference process_prediction equivalent: outputs is a list of
-    (class_logits (b, Q, L+1), mask_logits (b, Q, h, w)) batch tuples."""
+    (class_logits (b, Q, L+1), mask_logits (b, Q, h, w)) batch tuples.
+    Post-processing happens at each example's ORIGINAL pre-resize image size
+    (reference predictor.py:692-703)."""
     all_results = []
     image_ids = list(range(len(dataset)))
     idx = 0
@@ -102,8 +117,9 @@ def process_prediction(
         b = cls_logits.shape[0]
         target_sizes = []
         for i in range(b):
-            pix, *_ = dataset[min(idx + i, len(dataset) - 1)]
-            target_sizes.append(pix.shape[:2])
+            j = min(idx + i, len(dataset) - 1)
+            pix, *_ = dataset[j]
+            target_sizes.append(_original_size(dataset, j, pix.shape[:2]))
         res = post_process_instance_segmentation(
             cls_logits, mask_logits, threshold=threshold, target_sizes=target_sizes, return_binary_maps=True
         )

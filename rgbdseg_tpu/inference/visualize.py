@@ -40,11 +40,24 @@ def save_comparison_images(results, dataset, out_dir: str, id2label: dict) -> No
     os.makedirs(out_dir, exist_ok=True)
     for i, res in enumerate(results):
         pix, gt_masks, gt_classes, valid = dataset[i]
-        # un-normalize for display
-        img = pix[..., :3]
-        img = (img * np.asarray([0.229, 0.224, 0.225]) + np.asarray([0.485, 0.456, 0.406])) * 255.0
-        img = np.clip(img, 0, 255).astype(np.uint8)
-        pred_vis = overlay_instances(img, res["segmentation"])
+        seg = res["segmentation"]
+        res_size = tuple(seg.shape[-2:]) if seg.ndim == 3 else tuple(seg.shape)
+        if res_size != pix.shape[:2] and hasattr(dataset, "original_rgb"):
+            # results post-processed at the original image size (reference
+            # predictor.py:701-716 overlays on the raw image)
+            img = dataset.original_rgb(i)
+            if img.shape[:2] != res_size:
+                img = cv2.resize(img, (res_size[1], res_size[0]), interpolation=cv2.INTER_LINEAR)
+        else:
+            # un-normalize the preprocessed pixels for display
+            img = pix[..., :3]
+            img = (img * np.asarray([0.229, 0.224, 0.225]) + np.asarray([0.485, 0.456, 0.406])) * 255.0
+            img = np.clip(img, 0, 255).astype(np.uint8)
+        if gt_masks[valid].size and gt_masks.shape[-2:] != res_size:
+            from .postprocess import _resize_nearest_np
+
+            gt_masks = _resize_nearest_np(gt_masks.astype(np.float32), res_size)
+        pred_vis = overlay_instances(img, seg)
         gt_vis = overlay_instances(img, gt_masks[valid])
         grid = np.concatenate([img, pred_vis, gt_vis], axis=1)
         cv2.imwrite(os.path.join(out_dir, f"comparison_{i}.png"), cv2.cvtColor(grid, cv2.COLOR_RGB2BGR))

@@ -33,11 +33,17 @@ def pixel_cosine_similarity(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((na == 0) & (nb == 0), 1.0, sim)
 
 
-def csf_fuse(images: jnp.ndarray) -> jnp.ndarray:
-    """Fuse N images. images: (N, H, W, C) -> (H, W, C), dtype preserved."""
+def csf_intermediates(images: jnp.ndarray) -> dict:
+    """Full CSF with intermediates exposed (for the QA viewer — the reference
+    threads a `check=csf_viewer_v2` hook through cosine_similarity_fuse_v3,
+    data_process.py:817-919 / 922-1016).
+
+    Returns dict with: sim (N, N, H, W) (diagonal = -inf), best (N, H, W)
+    winning source per round, round_images (N, H, W, C), counts (N, N) per
+    (round, source) contributing-pixel counts, scores (N,), weights (N,),
+    fused (H, W, C) float32.
+    """
     n, h, w, c = images.shape
-    if n <= 1:
-        return images[0]
     imgs = images.astype(jnp.float32)
 
     # Pairwise similarity (N, N, H, W).
@@ -63,4 +69,19 @@ def csf_fuse(images: jnp.ndarray) -> jnp.ndarray:
     total = jnp.sum(scores)
     weights = jnp.where(total == 0, jnp.full((n,), 1.0 / n), scores / jnp.where(total == 0, 1.0, total))
     fused = jnp.einsum("k,khwc->hwc", weights, round_images)
-    return fused.astype(images.dtype)
+    return {
+        "sim": sim,
+        "best": best,
+        "round_images": round_images,
+        "counts": counts,
+        "scores": scores,
+        "weights": weights,
+        "fused": fused,
+    }
+
+
+def csf_fuse(images: jnp.ndarray) -> jnp.ndarray:
+    """Fuse N images. images: (N, H, W, C) -> (H, W, C), dtype preserved."""
+    if images.shape[0] <= 1:
+        return images[0]
+    return csf_intermediates(images)["fused"].astype(images.dtype)

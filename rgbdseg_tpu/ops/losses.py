@@ -29,6 +29,12 @@ from .matcher import hungarian_batch
 from .resize import grid_sample_bilinear
 
 
+def _uniform(rng: jax.Array, shape: tuple) -> jnp.ndarray:
+    """Point-coordinate draw. Indirection so differential tests can inject the
+    exact same coordinates into this criterion and HF's Mask2FormerLoss."""
+    return jax.random.uniform(rng, shape)
+
+
 def _sample_masks_at_points(masks: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """masks (B, N, H, W), coords (B, P, 2) in [0,1] (x,y) -> (B, N, P)."""
     b, n, h, w = masks.shape
@@ -145,7 +151,7 @@ def match(
         probs, safe_cls[:, None, :].repeat(q, 1), axis=2
     )  # (B, Q, T)
 
-    coords = jax.random.uniform(rng, (b, cfg.train_num_points, 2))
+    coords = _uniform(rng, (b, cfg.train_num_points, 2))
     pred_pts = _sample_masks_at_points(mask_logits, coords)  # (B, Q, P)
     tgt_pts = _sample_masks_at_points(target_masks, coords)  # (B, T, P)
 
@@ -173,14 +179,14 @@ def sample_points_with_uncertainty(
     num_random = num_points - num_uncertain
 
     r1, r2 = jax.random.split(rng)
-    coords = jax.random.uniform(r1, (b, n, num_sampled, 2))
+    coords = _uniform(r1, (b, n, num_sampled, 2))
     logits = _sample_each_mask(pred_masks, coords)  # (B, N, S)
     uncertainty = -jnp.abs(logits)
     _, idx = jax.lax.top_k(uncertainty, num_uncertain)  # (B, N, U)
     picked = jnp.take_along_axis(coords, idx[..., None], axis=2)
     if num_random > 0:
         picked = jnp.concatenate(
-            [picked, jax.random.uniform(r2, (b, n, num_random, 2))], axis=2
+            [picked, _uniform(r2, (b, n, num_random, 2))], axis=2
         )
     return jax.lax.stop_gradient(picked)
 

@@ -22,22 +22,29 @@ from .dataset_builder import polygon_to_mask
 from ..inference import rle as rle_codec
 
 
-def mask_to_polygons(mask: np.ndarray, min_area: float = 1.0) -> list[list[float]]:
-    """Binary mask -> COCO polygon list (outer contours; holes dropped like the
-    reference's default path, custom_mask_generator.py:86-138)."""
+def mask_to_polygons(mask: np.ndarray, min_area: float = 1.0) -> tuple[list[list[float]], bool]:
+    """Binary mask -> (COCO polygon list of outer contours, has_holes).
+
+    The reference keeps hole hierarchy by appending child-contour points to
+    the outer ring (custom_mask_generator.py:86-138) — which rasterizers fill
+    inconsistently. We instead report `has_holes` so the caller can fall back
+    to RLE for holed instances (exact round-trip); hole-free instances export
+    compact polygons as before."""
     contours, hierarchy = cv2.findContours(
         mask.astype(np.uint8), cv2.RETR_CCOMP, cv2.CHAIN_APPROX_SIMPLE
     )
-    polys = []
+    polys, has_holes = [], False
     if hierarchy is None:
-        return polys
+        return polys, has_holes
     for c, h in zip(contours, hierarchy[0]):
-        if h[3] != -1:  # interior contour (hole) — skip
+        if h[3] != -1:  # interior contour (hole)
+            if cv2.contourArea(c) >= min_area:
+                has_holes = True
             continue
         if cv2.contourArea(c) < min_area or len(c) < 3:
             continue
         polys.append(c.reshape(-1).astype(float).tolist())
-    return polys
+    return polys, has_holes
 
 
 class AnnotationConverter:
@@ -142,9 +149,13 @@ class AnnotationConverter:
                 name = {v: k for k, v in rec["semantic_class_to_id"].items()}.get(sem, str(sem))
                 if name not in categories_by_name:
                     categories_by_name[name] = sem
-                polys = mask_to_polygons(m)
+                polys, has_holes = mask_to_polygons(m)
                 if not polys:
                     continue
+                # Holed instances (donuts) round-trip exactly only as RLE:
+                # polygon fill would close the hole (reference handles holes
+                # via contour hierarchy, custom_mask_generator.py:86-138).
+                seg = rle_codec.encode(m) if has_holes else polys
                 ys, xs = np.nonzero(m)
                 ann_id += 1
                 annotations.append(
@@ -152,7 +163,7 @@ class AnnotationConverter:
                         "id": ann_id,
                         "image_id": img_id,
                         "category_id": sem,
-                        "segmentation": polys,
+                        "segmentation": seg,
                         "area": float(m.sum()),
                         "bbox": [float(xs.min()), float(ys.min()), float(xs.max() - xs.min() + 1), float(ys.max() - ys.min() + 1)],
                         "iscrowd": 0,

@@ -72,6 +72,10 @@ class TrainingArguments:
     # written to <output_dir>/profile (TensorBoard/xprof format).
     profile_start_step: Optional[int] = None
     profile_stop_step: Optional[int] = None
+    # Upload output_dir (model card, results, checkpoints) to the HF Hub after
+    # training (reference: finetuning.py:141-149 trainer.push_to_hub).
+    push_to_hub: bool = False
+    hub_model_id: Optional[str] = None  # default: basename(output_dir)
 
 
 def _add_fields(parser: argparse.ArgumentParser, dc) -> None:

@@ -17,15 +17,31 @@ from .map_metric import MeanAveragePrecision
 
 
 class Evaluator:
-    def __init__(self, id2label: dict[int, str], threshold: float = 0.0):
+    def __init__(
+        self,
+        id2label: dict[int, str],
+        threshold: float = 0.0,
+        eval_at_original_size: bool = False,
+    ):
+        """`eval_at_original_size=False` (default) evaluates at the
+        preprocessed pixel size — exactly what the reference's in-training
+        evaluator does (model_essential_part.py:77-81: target_sizes are the GT
+        mask_labels shapes, i.e. the image-processor output size). Setting it
+        True post-processes predictions AND nearest-resizes GT to each
+        example's original pre-resize size (Batch.orig_sizes), matching the
+        reference's prediction-export path (predictor.py:692-703)."""
         self.id2label = id2label
         self.threshold = threshold
+        self.eval_at_original_size = eval_at_original_size
         self.metric = MeanAveragePrecision(class_metrics=True)
 
     def update(self, class_logits, mask_logits, batch, target_sizes=None):
         b = batch.pixel_values.shape[0]
         if target_sizes is None:
-            target_sizes = [batch.pixel_values.shape[1:3]] * b
+            if self.eval_at_original_size and batch.orig_sizes is not None:
+                target_sizes = [tuple(int(v) for v in s) for s in batch.orig_sizes]
+            else:
+                target_sizes = [batch.pixel_values.shape[1:3]] * b
         results = post_process_instance_segmentation(
             class_logits,
             mask_logits,

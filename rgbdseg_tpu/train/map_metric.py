@@ -106,23 +106,27 @@ class MeanAveragePrecision:
         nt = len(IOU_THRS)
         dt_m = -np.ones((nt, nd), np.int64)
         gt_m = -np.ones((nt, ng), np.int64)
-        for ti, thr in enumerate(IOU_THRS):
+        # Greedy matching is sequential over dets, but all IoU thresholds can be
+        # matched simultaneously: per det, pick (vectorized over thresholds) the
+        # best still-unmatched gt, preferring non-ignored gts. Tie-break = last
+        # index among equals (pycocotools updates on `>=`). 10x fewer
+        # interpreted iterations than the per-threshold loop this replaces.
+        if nd and ng:
+            thr0 = np.minimum(IOU_THRS, 1 - 1e-10)[:, None]  # (nt, 1)
+            unmatched = np.ones((nt, ng), bool)
+            ign_row = gt_ignore[None, :]
             for di in range(nd):
-                best_iou = min(thr, 1 - 1e-10)
-                best = -1
-                for gi in range(ng):
-                    if gt_m[ti, gi] >= 0:
-                        continue
-                    # stop at ignored gts once a real match was found
-                    if best > -1 and not gt_ignore[best] and gt_ignore[gi]:
-                        break
-                    if ious[di, gi] < best_iou:
-                        continue
-                    best_iou = ious[di, gi]
-                    best = gi
-                if best >= 0:
-                    dt_m[ti, di] = best
-                    gt_m[ti, best] = di
+                eligible = unmatched & (ious[di][None, :] >= thr0)  # (nt, ng)
+                reg = eligible & ~ign_row
+                use_reg = reg.any(axis=1)
+                pool = np.where(use_reg[:, None], reg, eligible)
+                has = pool.any(axis=1)
+                masked = np.where(pool, ious[di][None, :], -1.0)
+                best = ng - 1 - np.argmax(masked[:, ::-1], axis=1)
+                rows = np.nonzero(has)[0]
+                dt_m[rows, di] = best[rows]
+                gt_m[rows, best[rows]] = di
+                unmatched[rows, best[rows]] = False
         d_out = (darea_full < area_rng[0]) | (darea_full > area_rng[1])
         dt_ignore = np.zeros((nt, nd), bool)
         for ti in range(nt):

@@ -372,6 +372,7 @@ class Trainer:
                 mask_labels=padrep(batch.mask_labels),
                 class_labels=padrep(batch.class_labels),
                 valid=padded_valid,
+                orig_sizes=None if batch.orig_sizes is None else padrep(batch.orig_sizes),
             )
         put = lambda x: jax.device_put(jnp.asarray(x), self.data_sharding)
         return (
@@ -596,6 +597,7 @@ class Trainer:
                 mask_labels=batch.mask_labels[s:e],
                 class_labels=batch.class_labels[s:e],
                 valid=batch.valid[s:e],
+                orig_sizes=None if batch.orig_sizes is None else batch.orig_sizes[s:e],
             )
         return self._put(batch, global_b=global_b)
 
@@ -626,6 +628,9 @@ class Trainer:
                 mask_labels=np.asarray(batch.mask_labels[:real_b]),
                 class_labels=np.asarray(batch.class_labels[:real_b]),
                 valid=np.asarray(batch.valid[:real_b]),
+                orig_sizes=None
+                if batch.orig_sizes is None
+                else np.asarray(batch.orig_sizes[:real_b]),
             )
             evaluator.update(self._host_np(cls_logits)[:real_b], self._host_np(mask_logits)[:real_b], sub)
             n += real_b

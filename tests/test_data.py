@@ -73,3 +73,92 @@ def test_preprocess_matches_hf_image_processor(fixture_dir):
     assert masks_m.shape == ref_masks.shape
     np.testing.assert_array_equal(masks_m, ref_masks)
     np.testing.assert_array_equal(labels_m, ref_labels)
+
+
+@pytest.fixture(scope="module")
+def dense_fixture(tmp_path_factory):
+    """One example with 30 instances (NYUv2 images can exceed 20 — VERDICT #6:
+    static padding must not silently drop GT; reference keeps ragged lists,
+    dataloader.py:772-780)."""
+    import cv2
+    import json
+    import os
+
+    root = str(tmp_path_factory.mktemp("dense_set"))
+    h, w = 96, 128
+    rgb = np.random.RandomState(0).randint(0, 255, (h, w, 3), np.uint8)
+    depth = np.full((h, w), 120, np.uint8)
+    mask = np.zeros((h, w, 3), np.uint8)
+    # 30 distinct tiles: 6 cols x 5 rows
+    for i in range(30):
+        r, c = divmod(i, 6)
+        y0, x0 = 4 + r * 18, 4 + c * 20
+        mask[y0 : y0 + 14, x0 : x0 + 16, 1] = i + 1  # instance id
+        mask[y0 : y0 + 14, x0 : x0 + 16, 2] = 1 + (i % 2)  # semantic id
+    cv2.imwrite(os.path.join(root, "rgb.png"), rgb)
+    cv2.imwrite(os.path.join(root, "depth.png"), depth)
+    cv2.imwrite(os.path.join(root, "mask.png"), mask)
+    rec = {
+        "image": ["rgb.png", "depth.png"],
+        "annotation": "mask.png",
+        "semantic_class_to_id": {"background": 0, "box": 1, "ball": 2},
+    }
+    meta = os.path.join(root, "train.json")
+    with open(meta, "w") as f:
+        json.dump([rec], f)
+    return {"root": root, "train": meta}
+
+
+def test_30_instances_no_silent_truncation(dense_fixture):
+    records = load_meta(dense_fixture["train"], dense_fixture["root"])
+    ds = SegmentationDataset(records, "0.0.0", PP, max_instances=40)
+    _, masks, classes, valid = ds[0]
+    assert valid.sum() >= 30  # all 30 tiles survive (+ background instance)
+    # every tile's mask is non-empty post-resize
+    assert (masks[valid].sum(axis=(1, 2)) > 0).all()
+
+
+def test_truncation_warns_loudly(dense_fixture, caplog):
+    import logging
+
+    records = load_meta(dense_fixture["train"], dense_fixture["root"])
+    ds = SegmentationDataset(records, "0.0.0", PP, max_instances=8, cache=False)
+    with caplog.at_level(logging.WARNING):
+        _, _, _, valid = ds[0]
+        assert valid.sum() == 8
+        assert any("TRUNCATED" in r.message for r in caplog.records)
+        caplog.clear()
+        ds[0]  # second access: warning printed once per dataset
+        assert not any("TRUNCATED" in r.message for r in caplog.records)
+
+
+def test_transform_hook(fixture_dir):
+    """Albumentations-style augmentation extension point (reference
+    dataloader.py:19): a joint (image, mask) transform flows through the map
+    fns and keeps pixels and instance masks aligned."""
+    from rgbdseg_tpu.data import registry
+
+    records = load_meta(fixture_dir["train"], fixture_dir["root"])
+    ds_plain = SegmentationDataset(records, "0.0.0", PP, max_instances=8, cache=False)
+    pix0, masks0, classes0, valid0 = ds_plain[0]
+
+    def hflip(image, mask):
+        return {"image": image[:, ::-1], "mask": mask[:, ::-1]}
+
+    registry.set_transform(hflip)
+    try:
+        ds_aug = SegmentationDataset(records, "0.0.0", PP, max_instances=8, cache=False)
+        pix1, masks1, classes1, valid1 = ds_aug[0]
+    finally:
+        registry.set_transform(None)
+
+    assert np.allclose(pix1, pix0[:, ::-1], atol=1e-5)
+    assert valid1.sum() == valid0.sum()
+    # flipped geometry: per-instance centroids mirror about the x axis
+    # (nearest-resize does not commute with flip bit-exactly at boundaries,
+    # so compare centroids, not pixels)
+    w = masks0.shape[-1]
+    for m0, m1 in zip(masks0[valid0], masks1[valid1]):
+        cx0 = np.nonzero(m0)[1].mean()
+        cx1 = np.nonzero(m1)[1].mean()
+        assert abs(cx1 - ((w - 1) - cx0)) < 1.5, (cx0, cx1)

@@ -10,6 +10,8 @@ decoder, masked-attention transformer decoder, and prediction heads end to end.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

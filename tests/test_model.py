@@ -27,7 +27,18 @@ def _make(version):
     return cfg, model, x, variables
 
 
-@pytest.mark.parametrize("version", sorted(V.REGISTRY))
+# compile-per-version is the expensive part; keep the two headline versions in
+# the fast suite (stock RGB + the final paper model), the rest run under -m slow
+_FAST_VERSIONS = {"0.0.0", "0.4.0"}
+
+
+@pytest.mark.parametrize(
+    "version",
+    [
+        v if v in _FAST_VERSIONS else pytest.param(v, marks=pytest.mark.slow)
+        for v in sorted(V.REGISTRY)
+    ],
+)
 def test_forward_shapes_all_versions(version):
     cfg, model, x, variables = _make(version)
     out = model.apply(variables, x)

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from rgbdseg_tpu.ops.kernels import deformable, masked_attention
 
 

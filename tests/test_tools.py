@@ -82,8 +82,45 @@ def test_mask_to_polygons_handles_holes():
     m = np.zeros((30, 30), np.uint8)
     m[5:25, 5:25] = 1
     m[12:18, 12:18] = 0  # hole
-    polys = mask_to_polygons(m)
+    polys, has_holes = mask_to_polygons(m)
     assert len(polys) == 1  # outer contour only
+    assert has_holes
+
+
+def test_donut_round_trip(tmp_path):
+    """A donut instance must survive masks -> COCO -> masks exactly
+    (VERDICT #8; reference: custom_mask_generator.py:86-138 keeps hole
+    hierarchy — we fall back to RLE for holed instances)."""
+    import cv2
+
+    donut = np.zeros((40, 50), np.uint8)
+    cv2.circle(donut, (25, 20), 15, 1, -1)
+    cv2.circle(donut, (25, 20), 6, 0, -1)
+    combined = np.zeros((40, 50, 3), np.uint16)
+    combined[donut.astype(bool), 1] = 1
+    combined[donut.astype(bool), 2] = 1
+    mask_path = str(tmp_path / "donut.png")
+    cv2.imwrite(mask_path, combined)
+    rec = {
+        "image": "donut_rgb.png",
+        "annotation": mask_path,
+        "semantic_class_to_id": {"background": 0, "donut": 1},
+    }
+    conv = AnnotationConverter(str(tmp_path / "out"))
+    coco = conv.convert_to_coco_json([rec], str(tmp_path / "coco.json"))
+    seg = coco["annotations"][0]["segmentation"]
+    assert isinstance(seg, dict)  # holed instance exported as RLE
+    import json as _json
+
+    _json.dumps(seg)  # must be JSON-serializable
+    from rgbdseg_tpu.inference import rle as rle_codec
+
+    assert np.array_equal(rle_codec.decode(seg).astype(bool), donut.astype(bool))
+    # and it parses back through the COCO parser to the identical mask
+    coco["images"][0]["file_name"] = "donut_rgb.png"
+    items = list(conv._parse_coco(str(tmp_path / "coco.json")))
+    m2, _ = items[0]["instances"][0]
+    assert np.array_equal(m2, donut.astype(bool))
 
 
 def test_labelme_converter(tmp_path):
@@ -161,3 +198,54 @@ def test_visualize_multi_model_json(tmp_path):
         str(tmp_path / "gt.json"), {"mymodel": str(tmp_path / "m.json")}, str(tmp_path / "viz")
     )
     assert os.path.exists(tmp_path / "viz" / "compare_0.png")
+
+
+def test_qa_viewers_smoke(tmp_path):
+    """CSF + DSAM visual QA hooks (reference data_process.py:922-1016,
+    custom_model.py:800-820) render from the on-device ops."""
+    matplotlib = pytest.importorskip("matplotlib")
+    matplotlib.use("Agg")
+    from rgbdseg_tpu.tools import qa_viewers
+
+    rs = np.random.RandomState(0)
+    imgs = rs.rand(3, 24, 32, 1).astype(np.float32)
+    out = qa_viewers.csf_viewer(imgs, save=str(tmp_path / "csf.png"))
+    assert out and (tmp_path / "csf.png").stat().st_size > 0
+
+    depth = np.concatenate(
+        [np.full((16, 32), 40.0), np.full((16, 32), 120.0)], axis=0
+    ) + rs.rand(32, 32)
+    qa_viewers.dsam_histogram_viewer(depth, save=str(tmp_path / "hist.png"))
+    qa_viewers.dsam_region_viewer(depth, save=str(tmp_path / "regions.png"))
+    assert (tmp_path / "hist.png").stat().st_size > 0
+    assert (tmp_path / "regions.png").stat().st_size > 0
+
+
+def test_push_to_hub_paths(monkeypatch, tmp_path):
+    """Hub push (reference finetuning.py:141-149): uploads the run dir when a
+    client is available; degrades to a no-op (False) offline."""
+    huggingface_hub = pytest.importorskip("huggingface_hub")
+    from rgbdseg_tpu.train.hub import push_to_hub
+
+    calls = []
+
+    class Fake:
+        def __init__(self, **kw):
+            pass
+
+        def create_repo(self, repo_id, **kw):
+            calls.append(("create", repo_id))
+
+        def upload_folder(self, repo_id, folder_path):
+            calls.append(("upload", repo_id, folder_path))
+
+    monkeypatch.setattr(huggingface_hub, "HfApi", Fake)
+    assert push_to_hub(str(tmp_path), repo_id="org/run") is True
+    assert calls == [("create", "org/run"), ("upload", "org/run", str(tmp_path))]
+
+    class Offline:
+        def __init__(self, **kw):
+            raise RuntimeError("no network")
+
+    monkeypatch.setattr(huggingface_hub, "HfApi", Offline)
+    assert push_to_hub(str(tmp_path)) is False
