@@ -98,6 +98,14 @@ class MeanAveragePrecision:
         darea_full = stats["darea"][:max_det]
         garea = stats["garea"]
         gt_ignore = (garea < area_rng[0]) | (garea > area_rng[1])
+        if scores.size == 0:  # gt-only image: nothing to match or ignore
+            nt0 = len(IOU_THRS)
+            return (
+                np.zeros((nt0, 0), bool),
+                scores,
+                np.zeros((nt0, 0), bool),
+                int((~gt_ignore).sum()),
+            )
         # sort gts: non-ignored first (COCO convention)
         gorder = np.argsort(gt_ignore, kind="mergesort")
         gt_ignore = gt_ignore[gorder]
@@ -139,12 +147,21 @@ class MeanAveragePrecision:
 
     def _accumulate_class(self, cls):
         """Returns dict area -> maxdet -> (precision (T, 101), recall (T,))."""
-        per_image_stats = [self._image_class_stats(pred, tgt, cls) for pred, tgt in self._images]
+        # Images with neither a det nor a gt of this class contribute nothing
+        # to any (area, maxDet) accumulation — drop them before the 12-way
+        # loop (most (image, class) combos are empty at 40 classes, so this
+        # removes the bulk of the _evaluate_image calls).
+        per_image_stats = [
+            s
+            for s in (self._image_class_stats(pred, tgt, cls) for pred, tgt in self._images)
+            if s["scores"].size or s["garea"].size
+        ]
         out = {}
+        nt = len(IOU_THRS)
         for aname, arng in AREA_RANGES.items():
             out[aname] = {}
             for max_det in MAX_DETS:
-                matches, scores, ignores, npig = [], [], [], 0
+                matches, scores, ignores, npig = [np.zeros((nt, 0), bool)], [np.zeros((0,))], [np.zeros((nt, 0), bool)], 0
                 for stats in per_image_stats:
                     m, s, ig, ng = self._evaluate_image(stats, arng, max_det)
                     matches.append(m)
