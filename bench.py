@@ -146,6 +146,79 @@ def bench_train():
     )
 
 
+def bench_eval():
+    """End-to-end eval throughput: forward + instance post-processing at the
+    original image size + streaming mAP metric update — the same work behind
+    the reference's test_samples_per_second (0.61 at 640², coco82v2_multi_640
+    all_results.json; its eval loop is predict + post-process + metric)."""
+    from rgbdseg_tpu.config import ModelConfig
+    from rgbdseg_tpu.models.mask2former import Mask2FormerRGBD
+    from rgbdseg_tpu.train.evaluator import Evaluator
+    from rgbdseg_tpu.data.pipeline import Batch
+
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    h, w, t = 480, 640, 8
+    cfg = ModelConfig(num_labels=40, version="0.4.0")
+    model = Mask2FormerRGBD(cfg)
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, h, w, 10), jnp.float32)
+    )
+    dtype = jnp.dtype(os.environ.get("BENCH_DTYPE", "bfloat16"))
+    variables = jax.tree.map(lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, variables)
+
+    @jax.jit
+    def forward(px):
+        out = model.apply(variables, px, deterministic=True)
+        return out.class_queries_logits, out.masks_queries_logits
+
+    rng = np.random.RandomState(0)
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    xs = [jnp.asarray(rng.rand(batch, h, w, 10), dtype) for _ in range(iters)]
+    gts = []
+    for _ in range(iters):
+        masks = np.zeros((batch, t, h, w), np.float32)
+        for b in range(batch):
+            for j in range(t):
+                y0, x0 = rng.randint(0, h - 80), rng.randint(0, w - 80)
+                masks[b, j, y0 : y0 + 80, x0 : x0 + 80] = 1.0
+        gts.append(
+            Batch(
+                pixel_values=np.zeros((batch, h, w, 10), np.float32),
+                mask_labels=masks,
+                class_labels=rng.randint(0, 40, (batch, t)).astype(np.int32),
+                valid=np.ones((batch, t), bool),
+                orig_sizes=np.tile([[h, w]], (batch, 1)).astype(np.int32),
+            )
+        )
+
+    evaluator = Evaluator({i: str(i) for i in range(40)}, threshold=0.0, eval_at_original_size=True)
+    jax.block_until_ready(forward(xs[0]))  # compile
+
+    t0 = time.perf_counter()
+    for x, gt in zip(xs, gts):
+        cls_logits, mask_logits = forward(x)
+        # device arrays flow straight into post-processing — the logits never
+        # cross the tunnel (only the bit-packed binary maps do)
+        evaluator.update(cls_logits, mask_logits, gt)
+    dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    evaluator.compute()
+    dt_compute = time.perf_counter() - t0
+
+    images_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "NYUv2 640x480 EVAL images/sec/chip (forward + post-process + mAP update, v0.4.0)",
+                "value": round(images_per_sec, 3),
+                "unit": "images/sec",
+                "vs_baseline": round(images_per_sec / REFERENCE_THROUGHPUT, 2),
+                "metric_compute_s": round(dt_compute, 2),
+            }
+        )
+    )
+
+
 def main():
     from rgbdseg_tpu.config import ModelConfig
     from rgbdseg_tpu.models.mask2former import Mask2FormerRGBD
@@ -208,7 +281,10 @@ def main():
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_MODE", "infer") == "train":
+    mode = os.environ.get("BENCH_MODE", "infer")
+    if mode == "train":
         bench_train()
+    elif mode == "eval":
+        bench_eval()
     else:
         main()

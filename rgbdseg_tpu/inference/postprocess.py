@@ -15,8 +15,11 @@ model_essential_part.py:87-92) and the predictor calls with defaults
 5. nearest-resize binary masks to target size; keep score >= threshold and
    non-empty masks
 
-The heavy part (steps 1-4) runs on-device under jit; the per-image packing
-runs on host.
+TPU notes: steps 1-4 run on-device under jit; the binary maps cross to the
+host BIT-PACKED ((B, Q, H*W/8) uint8 — 32x smaller than f32; the axon tunnel
+made the raw 59 MB/image transfer the eval bottleneck at 1.5 s/image) and are
+unpacked with np.unpackbits only for the kept queries. Binary maps are
+returned as uint8 0/1 arrays.
 """
 
 from __future__ import annotations
@@ -30,11 +33,13 @@ import numpy as np
 
 PROCESSOR_SIZE = (384, 384)
 
+_BIT_WEIGHTS = (128, 64, 32, 16, 8, 4, 2, 1)  # MSB-first = np.unpackbits order
+
 
 @functools.partial(jax.jit, static_argnames=("resize_to",))
 def _score_and_binarize(class_logits, mask_logits, resize_to=PROCESSOR_SIZE):
     """Device part: (B, Q, L+1), (B, Q, h, w) -> per-image top-Q
-    (scores, labels, binary_masks at resize_to)."""
+    (scores, labels, packed binary masks at resize_to, nonempty flags)."""
     from ..ops.resize import resize_bilinear
 
     b, q, _ = class_logits.shape
@@ -47,10 +52,15 @@ def _score_and_binarize(class_logits, mask_logits, resize_to=PROCESSOR_SIZE):
     labels = topk_idx % num_classes
     query_idx = topk_idx // num_classes
     sel_masks = jnp.take_along_axis(masks, query_idx[:, :, None, None], axis=1)
-    binary = (sel_masks > 0).astype(jnp.float32)
+    binary_bool = sel_masks > 0
+    binary = binary_bool.astype(jnp.float32)
     probs = jax.nn.sigmoid(sel_masks)
     mask_scores = jnp.sum(probs * binary, axis=(2, 3)) / (jnp.sum(binary, axis=(2, 3)) + 1e-6)
-    return topk_scores * mask_scores, labels, binary
+    nonempty = jnp.any(binary_bool, axis=(2, 3))  # (B, Q)
+    # Bit-pack for the host transfer (MSB-first, np.unpackbits layout).
+    bits = binary_bool.reshape(b, q, -1, 8).astype(jnp.int32)
+    packed = jnp.sum(bits * jnp.asarray(_BIT_WEIGHTS, jnp.int32), axis=-1).astype(jnp.uint8)
+    return topk_scores * mask_scores, labels, packed, nonempty
 
 
 def _resize_nearest_np(mask: np.ndarray, size_hw) -> np.ndarray:
@@ -59,7 +69,9 @@ def _resize_nearest_np(mask: np.ndarray, size_hw) -> np.ndarray:
     n, h, w = mask.shape
     yi = np.minimum((np.arange(th) * (h / th)).astype(np.int64), h - 1)
     xi = np.minimum((np.arange(tw) * (w / tw)).astype(np.int64), w - 1)
-    return mask[:, yi][:, :, xi]
+    # single advanced-index (broadcast yi x xi) — 5.2x faster than chaining
+    # two fancy-index passes (no (N, th, w) intermediate)
+    return mask[:, yi[:, None], xi[None, :]]
 
 
 def post_process_instance_segmentation(
@@ -69,34 +81,44 @@ def post_process_instance_segmentation(
     target_sizes: Optional[list[tuple[int, int]]] = None,
     return_binary_maps: bool = True,
 ) -> list[dict]:
-    """Returns per image: {"segmentation": (N, H, W) float32 binary maps (or
-    (H, W) id map when return_binary_maps=False), "segments_info": [...]}."""
-    scores, labels, binary = _score_and_binarize(jnp.asarray(class_logits), jnp.asarray(mask_logits))
-    scores = np.asarray(scores)
-    labels = np.asarray(labels)
-    binary = np.asarray(binary)
+    """Returns per image: {"segmentation": (N, H, W) uint8 0/1 binary maps (or
+    (H, W) float32 id map when return_binary_maps=False), "segments_info": [...]}."""
+    outs = _score_and_binarize(jnp.asarray(class_logits), jnp.asarray(mask_logits))
+    for x in outs:  # overlap the 4 device->host copies (one tunnel RTT, not 4)
+        if hasattr(x, "copy_to_host_async"):
+            x.copy_to_host_async()
+    scores, labels, packed, nonempty = (np.asarray(x) for x in outs)
+    ph, pw = PROCESSOR_SIZE
 
     results = []
     for i in range(scores.shape[0]):
-        masks_i = binary[i]
+        # Pre-filter by score and 384²-emptiness (an empty mask stays empty
+        # under nearest resize); post-filter below re-checks emptiness at the
+        # target size exactly like the reference (downsizing can erase masks).
+        cand = np.nonzero((scores[i] >= threshold) & nonempty[i])[0]
+        masks_i = np.unpackbits(packed[i][cand], axis=-1).reshape(len(cand), ph, pw)
+        h, w = ph, pw
         if target_sizes is not None:
-            masks_i = _resize_nearest_np(masks_i, target_sizes[i])
-        h, w = masks_i.shape[-2:]
-        keep = []
-        segments = []
-        seg_map = np.full((h, w), -1.0, np.float32)
-        current = 0
-        for j in range(scores.shape[1]):
-            if scores[i, j] >= threshold and masks_i[j].any():
-                seg_map[masks_i[j] == 1] = current
-                segments.append(
-                    {"id": current, "label_id": int(labels[i, j]), "was_fused": False, "score": round(float(scores[i, j]), 6)}
-                )
-                keep.append(j)
-                current += 1
+            h, w = target_sizes[i]
+            if (h, w) != (ph, pw):
+                masks_i = _resize_nearest_np(masks_i, (h, w))
+        still = masks_i.reshape(len(cand), h * w).any(axis=1)
+        cand, masks_i = cand[still], masks_i[still]
+        segments = [
+            {
+                "id": k,
+                "label_id": int(labels[i, j]),
+                "was_fused": False,
+                "score": round(float(scores[i, j]), 6),
+            }
+            for k, j in enumerate(cand)
+        ]
         if return_binary_maps:
-            seg = np.stack([masks_i[j] for j in keep]) if keep else np.zeros((0, h, w), np.float32)
+            seg = masks_i
         else:
+            seg_map = np.full((h, w), -1.0, np.float32)
+            for k in range(masks_i.shape[0]):
+                seg_map[masks_i[k] == 1] = k
             seg = seg_map
         results.append({"segmentation": seg, "segments_info": segments})
     return results

@@ -31,10 +31,13 @@ def mask_iou(dets: np.ndarray, gts: np.ndarray) -> np.ndarray:
     """(N, H, W) bool x (M, H, W) bool -> (N, M) IoU."""
     if dets.shape[0] == 0 or gts.shape[0] == 0:
         return np.zeros((dets.shape[0], gts.shape[0]), np.float64)
-    d = dets.reshape(dets.shape[0], -1).astype(np.float64)
-    g = gts.reshape(gts.shape[0], -1).astype(np.float64)
-    inter = d @ g.T
-    union = d.sum(1)[:, None] + g.sum(1)[None, :] - inter
+    # f32 dot: intersection/area counts are integers < 2^24, so f32 is EXACT
+    # and the matmul runs 2x faster in half the memory; the division happens
+    # in f64 so the resulting IoUs are bit-identical to the f64 path.
+    d = dets.reshape(dets.shape[0], -1).astype(np.float32)
+    g = gts.reshape(gts.shape[0], -1).astype(np.float32)
+    inter = (d @ g.T).astype(np.float64)
+    union = d.sum(1, dtype=np.float64)[:, None] + g.sum(1, dtype=np.float64)[None, :] - inter
     return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
 
 
@@ -44,23 +47,30 @@ class MeanAveragePrecision:
         self.reset()
 
     def reset(self):
-        self._images = []  # list of (preds, targets) per image
+        # Streaming accumulation: masks are reduced to per-(image, class)
+        # stats (scores, areas, IoU matrix) at update() time and DROPPED —
+        # holding raw masks until compute() would cost ~20 GB at NYUv2 scale
+        # (654 images x 100+ masks x 640x480). torchmetrics/pycocotools
+        # stream the same way (per-image evaluateImg, accumulate at the end).
+        self._stats: dict[int, list[dict]] = {}  # class -> per-image stats
+        self._gt_classes: set[int] = set()
 
     def update(self, preds: list[dict], targets: list[dict]):
         for p, t in zip(preds, targets):
-            self._images.append(
-                (
-                    {
-                        "scores": np.asarray(p["scores"], np.float64),
-                        "labels": np.asarray(p["labels"], np.int64),
-                        "masks": np.asarray(p["masks"], bool),
-                    },
-                    {
-                        "labels": np.asarray(t["labels"], np.int64),
-                        "masks": np.asarray(t["masks"], bool),
-                    },
+            pred = {
+                "scores": np.asarray(p["scores"], np.float64),
+                "labels": np.asarray(p["labels"], np.int64),
+                "masks": np.asarray(p["masks"], bool),
+            }
+            tgt = {
+                "labels": np.asarray(t["labels"], np.int64),
+                "masks": np.asarray(t["masks"], bool),
+            }
+            self._gt_classes.update(int(c) for c in tgt["labels"])
+            for cls in set(pred["labels"].tolist()) | set(tgt["labels"].tolist()):
+                self._stats.setdefault(int(cls), []).append(
+                    self._image_class_stats(pred, tgt, int(cls))
                 )
-            )
 
     # ------------------------------------------------------------------
     def _image_class_stats(self, pred, tgt, cls):
@@ -147,15 +157,10 @@ class MeanAveragePrecision:
 
     def _accumulate_class(self, cls):
         """Returns dict area -> maxdet -> (precision (T, 101), recall (T,))."""
-        # Images with neither a det nor a gt of this class contribute nothing
-        # to any (area, maxDet) accumulation — drop them before the 12-way
-        # loop (most (image, class) combos are empty at 40 classes, so this
-        # removes the bulk of the _evaluate_image calls).
-        per_image_stats = [
-            s
-            for s in (self._image_class_stats(pred, tgt, cls) for pred, tgt in self._images)
-            if s["scores"].size or s["garea"].size
-        ]
+        # Only images where the class appears in preds or targets have stats;
+        # all other (image, class) combos contribute nothing to any
+        # (area, maxDet) accumulation.
+        per_image_stats = self._stats.get(cls, [])
         out = {}
         nt = len(IOU_THRS)
         for aname, arng in AREA_RANGES.items():
@@ -202,13 +207,7 @@ class MeanAveragePrecision:
         return out
 
     def compute(self) -> dict:
-        classes = sorted(
-            set(
-                int(c)
-                for _, tgt in self._images
-                for c in tgt["labels"]
-            )
-        )
+        classes = sorted(self._gt_classes)
         per_class = {c: self._accumulate_class(c) for c in classes}
 
         def mean_ap(area, max_det, iou=None, cls=None):

@@ -632,7 +632,14 @@ class Trainer:
                 if batch.orig_sizes is None
                 else np.asarray(batch.orig_sizes[:real_b]),
             )
-            evaluator.update(self._host_np(cls_logits)[:real_b], self._host_np(mask_logits)[:real_b], sub)
+            if jax.process_count() == 1:
+                # keep the logits ON DEVICE: post-processing jits over them
+                # and ships only bit-packed binary maps to the host — pulling
+                # the (B, Q, h, w) logits down just to re-upload them costs a
+                # 2x tunnel round trip per batch
+                evaluator.update(cls_logits[:real_b], mask_logits[:real_b], sub)
+            else:
+                evaluator.update(self._host_np(cls_logits)[:real_b], self._host_np(mask_logits)[:real_b], sub)
             n += real_b
         runtime = time.time() - t0
         metrics = {prefix + "loss": float(np.mean(losses))}

@@ -52,19 +52,32 @@ def test_evaluator_original_size(dataset):
     batch = next(dataset.batches(batch_size=3))
     cls_logits, mask_logits = _fake_logits(3)
 
+    def spy(ev):
+        """Record the mask shapes flowing into the (streaming) metric."""
+        seen = []
+        orig = ev.metric.update
+
+        def wrapped(preds, targets):
+            for p, t in zip(preds, targets):
+                seen.append((np.asarray(p["masks"]).shape, np.asarray(t["masks"]).shape))
+            return orig(preds, targets)
+
+        ev.metric.update = wrapped
+        return seen
+
     ev = Evaluator({0: "bg", 1: "a", 2: "b"}, threshold=0.0, eval_at_original_size=True)
+    seen = spy(ev)
     ev.update(cls_logits, mask_logits, batch)
-    (pred, tgt) = ev.metric._images[0]
-    assert pred["masks"].shape[-2:] == ORIG
-    assert tgt["masks"].shape[-2:] == ORIG
+    assert seen[0][0][-2:] == ORIG  # predictions post-processed at orig size
+    assert seen[0][1][-2:] == ORIG  # GT nearest-resized to orig size
     metrics = ev.compute()
     assert np.isfinite(metrics["map"])
 
     # default: preprocessed size (reference in-training evaluator semantics)
     ev2 = Evaluator({0: "bg", 1: "a", 2: "b"}, threshold=0.0)
+    seen2 = spy(ev2)
     ev2.update(cls_logits, mask_logits, batch)
-    (pred2, tgt2) = ev2.metric._images[0]
-    assert pred2["masks"].shape[-2:] == (64, 64)
+    assert seen2[0][0][-2:] == (64, 64)
 
 
 def test_export_at_original_size(dataset, tmp_path):

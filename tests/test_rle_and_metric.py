@@ -87,3 +87,19 @@ def test_mask_iou():
     a[1, 2:] = True
     iou = mask_iou(a, a)
     np.testing.assert_allclose(iou, np.eye(2))
+
+
+def test_postprocess_no_survivors():
+    """Zero candidates (all below threshold) must yield an empty (0, H, W)
+    binary map, not a reshape error (regression: caught by the e2e drive)."""
+    from rgbdseg_tpu.inference.postprocess import post_process_instance_segmentation
+
+    rng = np.random.RandomState(0)
+    cls_logits = rng.randn(2, 5, 4).astype(np.float32)
+    mask_logits = rng.randn(2, 5, 16, 16).astype(np.float32)
+    res = post_process_instance_segmentation(
+        cls_logits, mask_logits, threshold=2.0, target_sizes=[(24, 32), (16, 16)]
+    )
+    assert res[0]["segmentation"].shape == (0, 24, 32)
+    assert res[0]["segments_info"] == []
+    assert res[1]["segmentation"].shape == (0, 16, 16)
