@@ -395,12 +395,23 @@ class Trainer:
                 "opt_state": self.opt_state,
                 "batch_stats": self.batch_stats,
                 "step": self.global_step,
+                "rng": self.rng,
             }
-            state = load_checkpoint(resume_from_checkpoint, state)
+            try:
+                state = load_checkpoint(resume_from_checkpoint, state)
+            except Exception:
+                # older checkpoints predate the saved RNG stream: restore the
+                # rest and keep the seed-derived rng (resume still works, the
+                # stream just replays from the seed)
+                state.pop("rng")
+                state = load_checkpoint(resume_from_checkpoint, state)
+                state["rng"] = self.rng
+                logger.warning("checkpoint has no rng state; resumed stream restarts from the seed")
             self.params = state["params"]
             self.opt_state = state["opt_state"]
             self.batch_stats = state["batch_stats"]
             self.global_step = int(state["step"])
+            self.rng = state["rng"]
             ts_path = os.path.join(args.output_dir, "trainer_state.json")
             if os.path.exists(ts_path):
                 with open(ts_path) as f:
@@ -532,6 +543,10 @@ class Trainer:
                 self.log_history.append(metrics)
 
             if args.save_strategy == "epoch":
+                # persist the carried RNG position so a resumed run continues
+                # the exact stream (HF Trainer saves rng_state the same way);
+                # without it, resumed epochs replay the stream from the seed
+                self.rng = rng
                 self._save(args.output_dir)
 
         runtime = time.time() - t0
@@ -554,6 +569,7 @@ class Trainer:
             "opt_state": jax.device_get(self.opt_state),
             "batch_stats": jax.device_get(self.batch_stats),
             "step": self.global_step,
+            "rng": jax.device_get(self.rng),
         }
         save_checkpoint(output_dir, self.global_step, state, self.args.save_total_limit)
 

@@ -372,3 +372,56 @@ def test_predict_and_export(datasets, tmp_path):
         gt = json.load(f)
     assert gt and all("counts" in r["segmentation"] for r in gt)
     assert os.path.exists(os.path.join(comp, "comparison_0.png"))
+
+
+def test_resume_matches_uninterrupted_run(datasets, tmp_path):
+    """Golden resume equivalence (reference methodology §4.1 + HF rng_state
+    semantics): 4 epochs straight == 2 epochs + checkpoint + resume + 2 — the
+    carried RNG stream is checkpointed, so the resumed run continues the exact
+    dropout/point-sampling draws, data order, and optimizer state."""
+    import jax
+
+    train_ds, valid_ds = datasets
+    cfg = ModelConfig.tiny(num_labels=3, version="0.0.0")
+    id2label = {0: "background", 1: "box", 2: "ball"}
+
+    def args_for(out, epochs):
+        return TrainingArguments(
+            output_dir=out,
+            num_train_epochs=epochs,
+            per_device_train_batch_size=2,
+            learning_rate=5e-4,
+            seed=42,
+            num_devices=1,
+            do_eval=False,
+        )
+
+    # run A: 4 epochs uninterrupted
+    a = Trainer(cfg, args_for(str(tmp_path / "a"), 4), train_ds, valid_ds, id2label)
+    a.train()
+
+    # run B: SAME 4-epoch config (so the LR schedule matches), crashed right
+    # after the epoch-2 checkpoint lands, then resumed by a FRESH trainer
+    out_b = str(tmp_path / "b")
+    b1 = Trainer(cfg, args_for(out_b, 4), train_ds, valid_ds, id2label)
+    orig_save = b1._save
+
+    def crashing_save(out_dir):
+        orig_save(out_dir)
+        if b1.global_step == a.global_step // 2:
+            raise KeyboardInterrupt  # simulated preemption
+
+    b1._save = crashing_save
+    with pytest.raises(KeyboardInterrupt):
+        b1.train()
+
+    from rgbdseg_tpu.train.checkpoints import find_last_checkpoint
+
+    last = find_last_checkpoint(out_b)
+    assert last.endswith(f"checkpoint-{a.global_step // 2}")
+    b2 = Trainer(cfg, args_for(out_b, 4), train_ds, valid_ds, id2label)
+    b2.train(resume_from_checkpoint=last)
+
+    assert b2.global_step == a.global_step
+    for pa, pb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b2.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=0, atol=0)
