@@ -629,6 +629,25 @@ class Trainer:
         t0 = time.time()
         n = 0
         rng = jax.random.PRNGKey(self.args.seed)
+        from ..data.pipeline import Batch
+
+        def flush(pending):
+            cls_logits, mask_logits, loss, sub, real_b = pending
+            losses.append(float(loss))
+            if jax.process_count() == 1:
+                # keep the logits ON DEVICE: post-processing jits over them
+                # and ships only bit-packed binary maps to the host — pulling
+                # the (B, Q, h, w) logits down just to re-upload them costs a
+                # 2x tunnel round trip per batch
+                evaluator.update(cls_logits[:real_b], mask_logits[:real_b], sub)
+            else:
+                evaluator.update(self._host_np(cls_logits)[:real_b], self._host_np(mask_logits)[:real_b], sub)
+            return real_b
+
+        # One-batch pipeline: dispatch batch i+1's eval_step (async on the
+        # device) BEFORE the host-side post-processing/metric work of batch i,
+        # so numpy crunches while the device computes the next forward.
+        pending = None
         for bi, batch in enumerate(dataset.batches(self._global_eval_batch)):
             # The pipeline pads the final partial chunk by repeating leading
             # examples (static shapes); recover the real row count from the
@@ -636,9 +655,6 @@ class Trainer:
             real_b = min(self._global_eval_batch, len(dataset) - bi * self._global_eval_batch)
             (px, mk, cl, vd), _ = self._put_eval(batch, self._global_eval_batch)
             cls_logits, mask_logits, loss = eval_step(self.params, self.batch_stats, rng, px, mk, cl, vd)
-            losses.append(float(loss))
-            from ..data.pipeline import Batch
-
             sub = Batch(
                 pixel_values=np.asarray(batch.pixel_values[:real_b]),
                 mask_labels=np.asarray(batch.mask_labels[:real_b]),
@@ -648,15 +664,11 @@ class Trainer:
                 if batch.orig_sizes is None
                 else np.asarray(batch.orig_sizes[:real_b]),
             )
-            if jax.process_count() == 1:
-                # keep the logits ON DEVICE: post-processing jits over them
-                # and ships only bit-packed binary maps to the host — pulling
-                # the (B, Q, h, w) logits down just to re-upload them costs a
-                # 2x tunnel round trip per batch
-                evaluator.update(cls_logits[:real_b], mask_logits[:real_b], sub)
-            else:
-                evaluator.update(self._host_np(cls_logits)[:real_b], self._host_np(mask_logits)[:real_b], sub)
-            n += real_b
+            if pending is not None:
+                n += flush(pending)
+            pending = (cls_logits, mask_logits, loss, sub, real_b)
+        if pending is not None:
+            n += flush(pending)
         runtime = time.time() - t0
         metrics = {prefix + "loss": float(np.mean(losses))}
         metrics.update(evaluator.compute(prefix=prefix))

@@ -83,6 +83,7 @@ def test_train_eval_save_resume(datasets, tmp_path):
         "opt_state": trainer2.opt_state,
         "batch_stats": trainer2.batch_stats,
         "step": 0,
+        "rng": trainer2.rng,
     }
     from rgbdseg_tpu.train.checkpoints import load_checkpoint
 
