@@ -1,5 +1,8 @@
 """Bisect the 640x480 B=1 train step: model fwd+bwd vs criterion fwd+bwd."""
 import os, time, json
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 import jax, jax.numpy as jnp, numpy as np, optax
 
 from rgbdseg_tpu.config import ModelConfig

@@ -1,5 +1,8 @@
 """Dump the train step's compiled HLO; print metadata for the hot ops."""
 import re
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 import jax, jax.numpy as jnp, numpy as np, optax
 
 from rgbdseg_tpu.config import ModelConfig

@@ -1,5 +1,8 @@
 """Profile the bf16 inference forward (bench.py's workload); aggregate device ops."""
 import glob, gzip, json, collections
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 import jax, jax.numpy as jnp, numpy as np
 
 from rgbdseg_tpu.config import ModelConfig

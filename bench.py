@@ -25,6 +25,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compile cache (keyed on HLO + flags — correctness-safe). The
+# 640x480 model compiles in ~10-15 min over the remote tunnel; cached reruns
+# make back-to-back A/B benchmarking feasible. No-op if the backend doesn't
+# support executable serialization.
+jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_tpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
 REFERENCE_THROUGHPUT = 0.61  # images/s, reference 640² eval on 1x GPU
 REFERENCE_TRAIN_THROUGHPUT = 0.973  # images/s, reference 640² train on 1x GPU
 
@@ -193,6 +200,11 @@ def bench_eval():
 
     evaluator = Evaluator({i: str(i) for i in range(40)}, threshold=0.0, eval_at_original_size=True)
     jax.block_until_ready(forward(xs[0]))  # compile
+    # Warm the post-processing path too (the device-stats eval program jits on
+    # first update; in a real eval it compiles once per dataset) — then reset
+    # the metric so the timed loop starts clean.
+    evaluator.update(*forward(xs[0]), gts[0])
+    evaluator.metric.reset()
 
     t0 = time.perf_counter()
     # One-batch pipeline: the next forward is dispatched (async) before the

@@ -36,10 +36,9 @@ PROCESSOR_SIZE = (384, 384)
 _BIT_WEIGHTS = (128, 64, 32, 16, 8, 4, 2, 1)  # MSB-first = np.unpackbits order
 
 
-@functools.partial(jax.jit, static_argnames=("resize_to",))
-def _score_and_binarize(class_logits, mask_logits, resize_to=PROCESSOR_SIZE):
-    """Device part: (B, Q, L+1), (B, Q, h, w) -> per-image top-Q
-    (scores, labels, packed binary masks at resize_to, nonempty flags)."""
+def _topq_binary(class_logits, mask_logits, resize_to=PROCESSOR_SIZE):
+    """Shared device scoring: (B, Q, L+1), (B, Q, h, w) -> per-image top-Q
+    (final scores, labels, binary bool masks at resize_to)."""
     from ..ops.resize import resize_bilinear
 
     b, q, _ = class_logits.shape
@@ -56,11 +55,78 @@ def _score_and_binarize(class_logits, mask_logits, resize_to=PROCESSOR_SIZE):
     binary = binary_bool.astype(jnp.float32)
     probs = jax.nn.sigmoid(sel_masks)
     mask_scores = jnp.sum(probs * binary, axis=(2, 3)) / (jnp.sum(binary, axis=(2, 3)) + 1e-6)
+    return topk_scores * mask_scores, labels, binary_bool
+
+
+@functools.partial(jax.jit, static_argnames=("resize_to",))
+def _score_and_binarize(class_logits, mask_logits, resize_to=PROCESSOR_SIZE):
+    """Device part: (B, Q, L+1), (B, Q, h, w) -> per-image top-Q
+    (scores, labels, packed binary masks at resize_to, nonempty flags)."""
+    final_scores, labels, binary_bool = _topq_binary(class_logits, mask_logits, resize_to)
+    b, q = labels.shape
     nonempty = jnp.any(binary_bool, axis=(2, 3))  # (B, Q)
     # Bit-pack for the host transfer (MSB-first, np.unpackbits layout).
     bits = binary_bool.reshape(b, q, -1, 8).astype(jnp.int32)
     packed = jnp.sum(bits * jnp.asarray(_BIT_WEIGHTS, jnp.int32), axis=-1).astype(jnp.uint8)
-    return topk_scores * mask_scores, labels, packed, nonempty
+    return final_scores, labels, packed, nonempty
+
+
+def _nearest_indices(src_hw, dst_hw):
+    """The gather indices of `_resize_nearest_np`, as numpy (trace-time)
+    arrays — the device resize below uses EXACTLY the host path's indices."""
+    h, w = src_hw
+    th, tw = dst_hw
+    yi = np.minimum((np.arange(th) * (h / th)).astype(np.int64), h - 1)
+    xi = np.minimum((np.arange(tw) * (w / tw)).astype(np.int64), w - 1)
+    return yi, xi
+
+
+def _resize_nearest_jnp(masks, src_hw, dst_hw):
+    if tuple(src_hw) == tuple(dst_hw):
+        return masks
+    yi, xi = _nearest_indices(src_hw, dst_hw)
+    masks = jnp.take(masks, jnp.asarray(yi), axis=-2)
+    return jnp.take(masks, jnp.asarray(xi), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("target_hw", "gt_hw", "resize_to"))
+def _eval_stats_device(
+    class_logits, mask_logits, gt_packed, gt_valid, target_hw, gt_hw, resize_to=PROCESSOR_SIZE
+):
+    """Device-side instance-eval statistics: everything the mask mAP metric
+    needs EXCEPT the masks themselves, so only O(Q*T) scalars cross to the
+    host (the masks never leave the device — at NYUv2 sizes the binary maps
+    were ~30 MB/image even bit-packed+resized, and host unpack/resize/IoU was
+    the eval bottleneck at ~0.6 s/image).
+
+    gt_packed: (B, T, ceil(gh*gw/8)) uint8 np.packbits(axis=-1) of the padded
+    GT masks at gt_hw; gt_valid: (B, T) bool. Returns (scores (B,Q) f32,
+    labels (B,Q) i32, darea (B,Q) f32, garea (B,T) f32, inter (B,Q,T) f32),
+    with det masks binarized at `resize_to` then nearest-resized to
+    `target_hw` and GT nearest-resized gt_hw -> target_hw — index-identical
+    to the host path (`_resize_nearest_np`). All counts are integers < 2^24:
+    the f32 dot/sums are EXACT, so host-side IoU = inter / (darea + garea -
+    inter) is bit-identical to the mask-based host path."""
+    scores, labels, det = _topq_binary(class_logits, mask_logits, resize_to)
+    b, q = labels.shape
+    t = gt_valid.shape[1]
+    th, tw = target_hw
+    det = _resize_nearest_jnp(det, resize_to, target_hw)
+
+    gh, gw = gt_hw
+    bits = (gt_packed[..., None].astype(jnp.int32) >> jnp.arange(7, -1, -1, dtype=jnp.int32)) & 1
+    gt = bits.reshape(b, t, -1)[..., : gh * gw].reshape(b, t, gh, gw).astype(bool)
+    gt = gt & gt_valid[:, :, None, None]
+    gt = _resize_nearest_jnp(gt, gt_hw, target_hw)
+
+    # bf16 operands are exact for 0/1 values; f32 accumulation is exact for
+    # counts < 2^24 (th*tw <= 16.7M covers any realistic image size).
+    d = det.reshape(b, q, th * tw).astype(jnp.bfloat16)
+    g = gt.reshape(b, t, th * tw).astype(jnp.bfloat16)
+    inter = jnp.einsum("bqp,btp->bqt", d, g, preferred_element_type=jnp.float32)
+    darea = jnp.sum(det, axis=(2, 3), dtype=jnp.float32)
+    garea = jnp.sum(gt, axis=(2, 3), dtype=jnp.float32)
+    return scores, labels, darea, garea, inter
 
 
 def _resize_nearest_np(mask: np.ndarray, size_hw) -> np.ndarray:

@@ -10,6 +10,8 @@ Parity target: the reference Evaluator (model_essential_part.py:31-157):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..inference.postprocess import post_process_instance_segmentation
@@ -42,6 +44,18 @@ class Evaluator:
                 target_sizes = [tuple(int(v) for v in s) for s in batch.orig_sizes]
             else:
                 target_sizes = [batch.pixel_values.shape[1:3]] * b
+        # Device fast path: when every image in the batch evaluates at the
+        # same size (always true for fixed-size datasets like NYUv2), compute
+        # IoU/area stats ON DEVICE and ship only O(Q*T) scalars — the binary
+        # maps never cross the tunnel. Exactly equal to the mask path (f32
+        # integer counts + identical nearest-resize indices); pinned by
+        # tests/test_evaluator_device.py. RGBDSEG_EVAL_DEVICE_STATS=0 forces
+        # the host/mask path (also used for per-image target sizes).
+        if (
+            len(set(map(tuple, target_sizes))) == 1
+            and os.environ.get("RGBDSEG_EVAL_DEVICE_STATS", "1") == "1"
+        ):
+            return self._update_device_stats(class_logits, mask_logits, batch, tuple(target_sizes[0]))
         results = post_process_instance_segmentation(
             class_logits,
             mask_logits,
@@ -71,6 +85,44 @@ class Evaluator:
                 {"labels": batch.class_labels[i][valid].astype(np.int64), "masks": gt_masks}
             )
         self.metric.update(preds, targets)
+
+    def _update_device_stats(self, class_logits, mask_logits, batch, target_hw):
+        import jax.numpy as jnp
+
+        from ..inference.postprocess import _eval_stats_device
+
+        gt_bool = np.asarray(batch.mask_labels).astype(bool)
+        b, t, gh, gw = gt_bool.shape
+        gt_packed = np.packbits(gt_bool.reshape(b, t, -1), axis=-1)
+        outs = _eval_stats_device(
+            jnp.asarray(class_logits),
+            jnp.asarray(mask_logits),
+            jnp.asarray(gt_packed),
+            jnp.asarray(np.asarray(batch.valid, bool)),
+            target_hw,
+            (gh, gw),
+        )
+        for x in outs:  # overlap the device->host copies (one tunnel RTT)
+            if hasattr(x, "copy_to_host_async"):
+                x.copy_to_host_async()
+        scores, labels, darea, garea, inter = (np.asarray(x) for x in outs)
+        # The host path reads scores from segments_info, which rounds to 6
+        # decimals (postprocess parity with the reference) — match it here so
+        # both paths produce bit-identical metric inputs.
+        scores = np.round(scores.astype(np.float64), 6)
+        gt_labels = np.asarray(batch.class_labels)
+        gt_valid = np.asarray(batch.valid, bool)
+        for i in range(b):
+            cand = (scores[i] >= self.threshold) & (darea[i] > 0)
+            gv = gt_valid[i]
+            self.metric.update_precomputed(
+                scores[i][cand],
+                labels[i][cand],
+                darea[i][cand],
+                inter[i][cand][:, gv],
+                gt_labels[i][gv],
+                garea[i][gv],
+            )
 
     def compute(self, prefix: str = "") -> dict[str, float]:
         out = self.metric.compute()

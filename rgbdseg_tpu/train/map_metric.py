@@ -72,6 +72,37 @@ class MeanAveragePrecision:
                     self._image_class_stats(pred, tgt, int(cls))
                 )
 
+    def update_precomputed(self, scores, labels, darea, inter, gt_labels, garea):
+        """Per-image update from precomputed quantities (no masks): inter[i, j]
+        = |det_i ∩ gt_j| in pixels at the evaluation size, areas in pixels.
+        Dets must already be threshold/nonempty-filtered; rows in detection
+        order (ties in the per-class score sort break by that order, exactly
+        like the mask path). Produces stats identical to `update` whenever
+        inter/areas match the mask counts (the device eval path guarantees
+        this exactly — see inference/postprocess._eval_stats_device)."""
+        scores = np.asarray(scores, np.float64)
+        labels = np.asarray(labels, np.int64)
+        darea = np.asarray(darea, np.float64)
+        inter = np.asarray(inter, np.float64)
+        gt_labels = np.asarray(gt_labels, np.int64)
+        garea = np.asarray(garea, np.float64)
+        self._gt_classes.update(int(c) for c in gt_labels)
+        for cls in set(labels.tolist()) | set(gt_labels.tolist()):
+            sel_d = np.nonzero(labels == cls)[0]
+            sel_d = sel_d[np.argsort(-scores[sel_d], kind="mergesort")]
+            sel_g = np.nonzero(gt_labels == cls)[0]
+            inter_sub = inter[np.ix_(sel_d, sel_g)]
+            union = darea[sel_d][:, None] + garea[sel_g][None, :] - inter_sub
+            ious = np.where(union > 0, inter_sub / np.maximum(union, 1), 0.0)
+            self._stats.setdefault(int(cls), []).append(
+                {
+                    "scores": scores[sel_d],
+                    "darea": darea[sel_d],
+                    "garea": garea[sel_g],
+                    "ious": ious,
+                }
+            )
+
     # ------------------------------------------------------------------
     def _image_class_stats(self, pred, tgt, cls):
         """Per (image, class) quantities shared by every (area, maxDet) pair:

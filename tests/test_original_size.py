@@ -48,7 +48,11 @@ def _fake_logits(b, q=10, num_labels=3, h=16, w=16, seed=0):
     )
 
 
-def test_evaluator_original_size(dataset):
+def test_evaluator_original_size(dataset, monkeypatch):
+    # Spy on the mask-path metric.update — force the host path (the device
+    # stats path never materializes masks; its equivalence is pinned by
+    # tests/test_evaluator_device.py).
+    monkeypatch.setenv("RGBDSEG_EVAL_DEVICE_STATS", "0")
     batch = next(dataset.batches(batch_size=3))
     cls_logits, mask_logits = _fake_logits(3)
 
