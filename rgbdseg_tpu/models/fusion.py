@@ -257,12 +257,13 @@ class EnhancedDepthImageRatioPredictor(nn.Module):
         )
         merged = merge_multiscale_kernels(list(kernels))
         y = conv2d_lowcin(depth, merged) + jnp.concatenate(biases)
-        scales = []
-        for i in range(3):
-            s = y[..., 64 * i : 64 * (i + 1)]
-            s = _bn(f"scale{i}_bn", deterministic)(s)
-            scales.append(nn.relu(s))
-        x = jnp.concatenate(scales, axis=-1)
+        # One 192-channel BN instead of three per-branch 64-channel BNs:
+        # BatchNorm statistics are per-channel over (B, H, W), so normalizing
+        # the concatenated branches jointly is bit-identical math in both
+        # train and eval — but the slice -> bn -> relu -> re-concat chain cost
+        # ~0.9 ms of full-res layout copies per 640x480 frame (HLO profile
+        # 2026-08-20: copy.3834 + pad_maximum_fusion on bf16[1,480,640,192]).
+        x = nn.relu(_bn("scales_bn", deterministic)(y))
         x = nn.Conv(128, (1, 1), name="fusion_conv")(x)
         x = _bn("fusion_bn", deterministic)(x)
         x = nn.relu(x)

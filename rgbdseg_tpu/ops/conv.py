@@ -41,6 +41,33 @@ def conv2d_lowcin(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     return (patches.reshape(b * h * w, -1) @ wmat).reshape(b, h, w, cout)
 
 
+def conv2d_patchify(x: jnp.ndarray, kernel: jnp.ndarray, bias=None) -> jnp.ndarray:
+    """Non-overlapping patch conv (stride == kernel size, VALID) as
+    space-to-depth + one matmul — the Swin/ViT patch embedding.
+
+    A (ph, pw, C_in, C_out) conv with small C_in (RGB-D stacks: 3-30 channels)
+    otherwise lowers with the channel dim padded to the native 128-lane tile
+    (measured: the 4x4x10->96 patch embed at 480x640 showed as a 0.94 ms
+    convert_reduce_fusion in the frame profile). With stride == kernel there is
+    no tap overlap, so im2col is a pure reshape/transpose: (B, H, W, C) ->
+    (B, H/ph, W/pw, ph*pw*C) @ (ph*pw*C, C_out). Exactly equivalent to
+    ``lax.conv_general_dilated(x, kernel, (ph, pw), 'VALID')``.
+
+    x's spatial dims must already be multiples of (ph, pw) (callers pad first).
+    """
+    b, h, w, cin = x.shape
+    ph, pw, kcin, cout = kernel.shape
+    assert kcin == cin and h % ph == 0 and w % pw == 0, (kernel.shape, x.shape)
+    hp, wp = h // ph, w // pw
+    patches = x.reshape(b, hp, ph, wp, pw, cin).transpose(0, 1, 3, 2, 4, 5)
+    patches = patches.reshape(b * hp * wp, ph * pw * cin)
+    wmat = kernel.reshape(ph * pw * cin, cout).astype(x.dtype)
+    y = patches @ wmat
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y.reshape(b, hp, wp, cout)
+
+
 def merge_multiscale_kernels(kernels: list[jnp.ndarray]) -> jnp.ndarray:
     """Zero-pad per-scale HWIO kernels (e.g. 3x3/5x5/7x7) to the largest size
     and concatenate along C_out, so N parallel SAME convs over the same input
