@@ -2,16 +2,19 @@
 """Benchmark: NYUv2-shaped 640x480 RGB-D inference throughput, images/sec/chip.
 
 Runs the flagship model (version 0.4.0: Swin-T + E-DSAM + DGGM + deformable
-pixel decoder + masked-attention decoder) on one chip and prints ONE JSON line:
-{"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+pixel decoder + masked-attention decoder) on one chip and prints ONE JSON line
+carrying the full perf story (VERDICT r2 #4): inference images/sec + MFU,
+full-train-step images/sec, and end-to-end eval images/sec:
+{"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N,
+ "mfu": ..., "train_images_per_sec": ..., "train_vs_baseline": ...,
+ "eval_images_per_sec": ..., "eval_vs_baseline": ...}
 
-Baseline: the reference's published 640² eval throughput on its GPU,
-test_samples_per_second ≈ 0.61 (BASELINE.md, coco82v2_multi_640).
+Baselines: the reference's published 640² numbers on its GPU —
+test_samples_per_second ≈ 0.61 (eval) and train_samples_per_second = 0.973
+(BASELINE.md, coco82v2_multi_640 all_results.json).
 
-BENCH_MODE=train instead measures a full 640x480 training step (forward +
-Hungarian matching + point-sampled losses + backward + AdamW) against the
-reference's train_samples_per_second = 0.973 (coco82v2_multi_640
-all_results.json).
+BENCH_MODE=infer|train|eval runs just one section (back-to-back A/B work);
+the default runs all three.
 """
 
 import json
@@ -140,17 +143,13 @@ def bench_train():
     dt = time.perf_counter() - t0
 
     images_per_sec = batch * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "NYUv2 640x480 train images/sec/chip (full step, v0.4.0)",
-                "value": round(images_per_sec, 3),
-                "unit": "images/sec",
-                "vs_baseline": round(images_per_sec / REFERENCE_TRAIN_THROUGHPUT, 2),
-                **_mfu_fields(flops_per_call, images_per_sec, batch),
-            }
-        )
-    )
+    return {
+        "metric": "NYUv2 640x480 train images/sec/chip (full step, v0.4.0)",
+        "value": round(images_per_sec, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(images_per_sec / REFERENCE_TRAIN_THROUGHPUT, 2),
+        **_mfu_fields(flops_per_call, images_per_sec, batch),
+    }
 
 
 def bench_eval():
@@ -224,20 +223,16 @@ def bench_eval():
     dt_compute = time.perf_counter() - t0
 
     images_per_sec = batch * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "NYUv2 640x480 EVAL images/sec/chip (forward + post-process + mAP update, v0.4.0)",
-                "value": round(images_per_sec, 3),
-                "unit": "images/sec",
-                "vs_baseline": round(images_per_sec / REFERENCE_THROUGHPUT, 2),
-                "metric_compute_s": round(dt_compute, 2),
-            }
-        )
-    )
+    return {
+        "metric": "NYUv2 640x480 EVAL images/sec/chip (forward + post-process + mAP update, v0.4.0)",
+        "value": round(images_per_sec, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(images_per_sec / REFERENCE_THROUGHPUT, 2),
+        "metric_compute_s": round(dt_compute, 2),
+    }
 
 
-def main():
+def bench_infer():
     from rgbdseg_tpu.config import ModelConfig
     from rgbdseg_tpu.models.mask2former import Mask2FormerRGBD
 
@@ -285,24 +280,49 @@ def main():
     dt = time.perf_counter() - t0
 
     images_per_sec = batch * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "NYUv2 640x480 images/sec/chip (inference, v0.4.0)",
-                "value": round(images_per_sec, 3),
-                "unit": "images/sec",
-                "vs_baseline": round(images_per_sec / REFERENCE_THROUGHPUT, 2),
-                **_mfu_fields(flops_per_call, images_per_sec, batch),
-            }
-        )
+    return {
+        "metric": "NYUv2 640x480 images/sec/chip (inference, v0.4.0)",
+        "value": round(images_per_sec, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(images_per_sec / REFERENCE_THROUGHPUT, 2),
+        **_mfu_fields(flops_per_call, images_per_sec, batch),
+    }
+
+
+def main():
+    """Default: run all three benches, emit ONE JSON line with the full story
+    (inference + MFU is the headline; train + eval ride along so the driver's
+    BENCH_r*.json records all four numbers, not just the forward)."""
+    import gc
+
+    mode = os.environ.get("BENCH_MODE", "all")
+    if mode == "train":
+        print(json.dumps(bench_train()))
+        return
+    if mode == "eval":
+        print(json.dumps(bench_eval()))
+        return
+    if mode == "infer":
+        print(json.dumps(bench_infer()))
+        return
+
+    result = bench_infer()
+    gc.collect()
+    train = bench_train()
+    gc.collect()
+    ev = bench_eval()
+    result.update(
+        {
+            "train_images_per_sec": train["value"],
+            "train_vs_baseline": train["vs_baseline"],
+            **({"train_mfu": train["mfu"]} if "mfu" in train else {}),
+            "eval_images_per_sec": ev["value"],
+            "eval_vs_baseline": ev["vs_baseline"],
+            "eval_metric_compute_s": ev["metric_compute_s"],
+        }
     )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    mode = os.environ.get("BENCH_MODE", "infer")
-    if mode == "train":
-        bench_train()
-    elif mode == "eval":
-        bench_eval()
-    else:
-        main()
+    main()

@@ -43,6 +43,11 @@ def main(argv=None):
 
     train_ds, valid_ds, label2id, id2label = build_datasets(args)
     cfg = ModelConfig(num_labels=len(label2id), version=args.version)
+    if args.model_config_json:
+        with open(args.model_config_json) as f:
+            cfg = ModelConfig.from_json(f.read()).replace(
+                num_labels=len(label2id), version=args.version
+            )
 
     # model_name_or_path pointing at an HF Mask2Former checkpoint dir loads the
     # pretrained trunk (reference workflow: finetune from

@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--gt_json")
     ap.add_argument("--model_json", action="append", default=[])
     ap.add_argument("--output_dir", default="viz")
+    ap.add_argument(
+        "--model_config_json",
+        help="ModelConfig JSON overriding the default full-size architecture "
+        "(num_labels/version still come from their flags)",
+    )
     args = ap.parse_args()
 
     if args.compare:
@@ -52,9 +57,14 @@ def main():
     from rgbdseg_tpu.config import ModelConfig, PreprocessConfig
     from rgbdseg_tpu.inference.predictor import Predictor
     from rgbdseg_tpu.models.mask2former import Mask2FormerRGBD
-    from rgbdseg_tpu.train.checkpoints import load_checkpoint
+    from rgbdseg_tpu.train.checkpoints import load_checkpoint_partial
 
     cfg = ModelConfig(num_labels=args.num_labels, version=args.version)
+    if args.model_config_json:
+        with open(args.model_config_json) as f:
+            cfg = ModelConfig.from_json(f.read()).replace(
+                num_labels=args.num_labels, version=args.version
+            )
     pp = PreprocessConfig(height=args.image_height, width=args.image_width)
 
     import jax
@@ -83,15 +93,24 @@ def main():
         for s in skipped:
             print(f"skipped pretrained weight (shape mismatch): {s}")
     if args.checkpoint:
-        state = load_checkpoint(
-            args.checkpoint,
-            {"params": params, "opt_state": None, "batch_stats": batch_stats, "step": 0},
+        # partial restore: training checkpoints also hold opt_state + the
+        # carried RNG stream, which inference neither needs nor knows the
+        # structure of
+        state = load_checkpoint_partial(
+            args.checkpoint, {"params": params, "batch_stats": batch_stats}
         )
         params, batch_stats = state["params"], state["batch_stats"]
 
     predictor = Predictor(cfg, params, batch_stats, pp)
-    image = np.asarray(Image.open(args.image).convert("RGB"))
-    res, _ = predictor.predict_and_overlay(image, threshold=args.threshold, save=args.save)
+    if args.depth:
+        # RGB-D versions: build the version's channel stack from files via the
+        # registry map fn (same code path as training data)
+        res, _ = predictor.predict_and_overlay_files(
+            [args.image, args.depth], threshold=args.threshold, save=args.save
+        )
+    else:
+        image = np.asarray(Image.open(args.image).convert("RGB"))
+        res, _ = predictor.predict_and_overlay(image, threshold=args.threshold, save=args.save)
     for seg in res["segments_info"]:
         print(seg)
     if args.save:

@@ -183,7 +183,10 @@ class SegmentationDataset:
                 chunk = chunk[local_rows[0] : local_rows[1]]
             idx_batches.append(chunk)
 
-        with futures.ThreadPoolExecutor(max_workers=num_workers) as pool:
+        # num_workers=0 (HF semantics: load in the main process) degrades to a
+        # single worker thread — same deterministic batch order either way,
+        # the double-buffering below already preserves yield order.
+        with futures.ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
             pending = []
             it = iter(idx_batches)
 

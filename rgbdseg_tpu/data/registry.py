@@ -98,7 +98,12 @@ def set_transform(fn) -> None:
 
 def _color_and_mask(example) -> tuple[np.ndarray, np.ndarray]:
     color = _rgb(example["image"])
-    mask = _load_mask(example["annotation"])
+    if example.get("annotation") is None:
+        # inference path (predict.py single-image CLI): no annotation — an
+        # all-zero mask yields empty labels, the pixel channels build the same
+        mask = np.zeros(color.shape[:2] + (3,), np.uint8)
+    else:
+        mask = _load_mask(example["annotation"])
     if TRANSFORM is not None:
         out = TRANSFORM(image=color, mask=mask)
         color, mask = np.asarray(out["image"]), np.asarray(out["mask"])

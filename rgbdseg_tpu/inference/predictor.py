@@ -11,6 +11,7 @@ import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig, PreprocessConfig
@@ -25,8 +26,11 @@ class Predictor:
     def __init__(self, cfg: ModelConfig, params, batch_stats=None, preprocess: Optional[PreprocessConfig] = None):
         self.cfg = cfg
         self.model = Mask2FormerRGBD(cfg)
-        self.params = params
-        self.batch_stats = batch_stats or {}
+        # device arrays, not numpy: checkpoint restores hand back np.ndarrays,
+        # and a np param closure-captured in the jit breaks jax-indexed lookups
+        # (np.__getitem__ can't take a traced index) and re-uploads per call
+        self.params = jax.tree.map(jnp.asarray, params)
+        self.batch_stats = jax.tree.map(jnp.asarray, batch_stats or {})
         self.preprocess = preprocess or PreprocessConfig()
         self._apply = jax.jit(self._forward)
 
@@ -38,12 +42,40 @@ class Predictor:
         return out.class_queries_logits, out.masks_queries_logits
 
     def predict_example(self, example: dict, threshold: float = 0.5) -> dict:
-        """example: meta-JSON record {"image": ..., "annotation": optional}."""
+        """example: meta-JSON record {"image": ..., "annotation": optional —
+        omitted for pure inference (the channel builder then runs against an
+        empty mask)}."""
         map_fn = MAP_FUNCTIONS[get_version(self.cfg.version).map_fn]
-        if "annotation" not in example or example.get("annotation") is None:
-            raise ValueError("predict_example needs an annotation for the map fn; use predict_arrays")
         pix, _, _ = map_fn(example, self.preprocess)
         return self.predict_pixels(pix[None], threshold)[0]
+
+    def predict_and_overlay_files(
+        self, image_paths: list, threshold: float = 0.5, save: Optional[str] = None
+    ):
+        """Version-dispatched single-example inference from files on disk:
+        `image_paths` is [rgb] or [rgb, depth, ...modalities] exactly as a
+        meta-JSON "image" entry for this version (reference predictor.py:19
+        surface, extended to the RGB-D versions). Overlays at the RGB's
+        original size."""
+        from PIL import Image
+
+        example = {"image": image_paths if len(image_paths) > 1 else image_paths[0]}
+        res = self.predict_example(example, threshold)
+        image_rgb = np.asarray(Image.open(image_paths[0]).convert("RGB"))
+        from ..inference.postprocess import _resize_nearest_np
+
+        masks = (
+            _resize_nearest_np(res["segmentation"], image_rgb.shape[:2])
+            if res["segmentation"].size
+            else res["segmentation"]
+        )
+        vis = overlay_instances(image_rgb, masks)
+        if save:
+            import cv2
+
+            os.makedirs(os.path.dirname(save) or ".", exist_ok=True)
+            cv2.imwrite(save, cv2.cvtColor(vis, cv2.COLOR_RGB2BGR))
+        return res, vis
 
     def predict_pixels(self, pixel_values: np.ndarray, threshold: float = 0.5) -> list[dict]:
         cls_logits, mask_logits = self._apply(pixel_values)

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.conv import conv2d_lowcin, merge_multiscale_kernels
+from .common import ConvParams
 from ..ops.depth_decomp import dsam_region_masks
 from ..ops.image import to_grayscale
 from ..ops.resize import (
@@ -38,25 +39,6 @@ def _bn(name: str, deterministic: bool):
     return nn.BatchNorm(
         use_running_average=deterministic, momentum=0.9, epsilon=1e-5, name=name
     )
-
-
-class _ConvParams(nn.Module):
-    """nn.Conv-compatible parameter container (same scope/param names and
-    initializers) whose kernel is applied via ops.conv.conv2d_lowcin instead
-    of a conv HLO — for convs from tiny channel counts (see ops/conv.py)."""
-
-    features: int
-    kernel_size: tuple
-
-    @nn.compact
-    def __call__(self, cin: int):
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (*self.kernel_size, cin, self.features),
-        )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return kernel, bias
 
 
 class FeatureFuser(nn.Module):
@@ -216,7 +198,7 @@ class DepthImageRatioPredictor(nn.Module):
         for i, ch in enumerate((32, 64, 128)):
             if i == 0:
                 # full-res conv from 3 channels: im2col matmul (ops/conv.py)
-                k, b = _ConvParams(ch, (3, 3), name=f"conv{i}")(x.shape[-1])
+                k, b = ConvParams(ch, (3, 3), name=f"conv{i}")(x.shape[-1])
                 x = conv2d_lowcin(x, k) + b
             else:
                 x = nn.Conv(ch, (3, 3), padding=1, name=f"conv{i}")(x)
@@ -251,7 +233,7 @@ class EnhancedDepthImageRatioPredictor(nn.Module):
         cin = depth.shape[-1]
         kernels, biases = zip(
             *(
-                _ConvParams(64, (k, k), name=f"scale{i}_conv")(cin)
+                ConvParams(64, (k, k), name=f"scale{i}_conv")(cin)
                 for i, k in enumerate((3, 5, 7))
             )
         )

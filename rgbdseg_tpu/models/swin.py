@@ -30,26 +30,7 @@ import numpy as np
 
 from ..config import SwinConfig
 from ..ops.conv import conv2d_patchify
-
-
-class _PatchEmbedParams(nn.Module):
-    """nn.Conv-compatible (kernel, bias) container for the patch embedding,
-    applied via ops.conv.conv2d_patchify (space-to-depth + matmul) instead of
-    a conv HLO: the conv lowering pads the small RGB-D C_in (3-30) to the
-    128-lane tile. Param scope/names/initializers match nn.Conv exactly."""
-
-    features: int
-    kernel_size: tuple
-
-    @nn.compact
-    def __call__(self, cin: int):
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (*self.kernel_size, cin, self.features),
-        )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return kernel, bias
+from .common import ConvParams
 
 
 def drop_path(x: jnp.ndarray, rate: float, deterministic: bool, rng) -> jnp.ndarray:
@@ -278,7 +259,7 @@ class SwinBackbone(nn.Module):
         pad_w = (ps - w % ps) % ps
         if pad_h or pad_w:
             x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-        kernel, bias = _PatchEmbedParams(cfg.embed_dim, (ps, ps), name="patch_embed")(x.shape[-1])
+        kernel, bias = ConvParams(cfg.embed_dim, (ps, ps), name="patch_embed")(x.shape[-1])
         x = conv2d_patchify(x, kernel, bias)
         if cfg.patch_norm:
             x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="patch_norm")(x)

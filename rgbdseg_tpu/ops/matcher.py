@@ -21,8 +21,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-INF = jnp.float32(1e18)
+# plain numpy scalar: a module-level jnp constant would initialize the XLA
+# backend at import time, breaking jax.distributed.initialize ordering
+INF = np.float32(1e18)
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -31,7 +31,11 @@ def initialize(
     """`jax.distributed.initialize` passthrough.
 
     No-op for single-process runs (nothing configured and no cluster env);
-    TPU pods auto-detect all three arguments from the environment.
+    TPU pods auto-detect all three arguments from the environment. Manual
+    clusters (e.g. the 2-process localhost CPU run in
+    tests/test_multihost_exec.py) configure via JAX_COORDINATOR_ADDRESS +
+    JAX_NUM_PROCESSES + JAX_PROCESS_ID env vars — jax itself has no generic
+    env-var cluster detector, so parse them here and pass explicitly.
     """
     configured = (
         coordinator_address
@@ -40,8 +44,12 @@ def initialize(
     )
     if not configured and num_processes is None and process_id is None:
         return
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     jax.distributed.initialize(
-        coordinator_address=coordinator_address,
+        coordinator_address=configured,
         num_processes=num_processes,
         process_id=process_id,
     )

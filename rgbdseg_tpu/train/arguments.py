@@ -29,6 +29,10 @@ class Arguments:
     # model
     model_name_or_path: Optional[str] = None  # optional checkpoint to load
     version: str = "0.0.0"
+    # optional ModelConfig JSON (ModelConfig.to_json) overriding the default
+    # full-size architecture — num_labels/version still come from the dataset
+    # and --version flag. Used e.g. for small-model smoke runs on CPU.
+    model_config_json: Optional[str] = None
     # export (reference: arguments.py pred/gt JSON export paths)
     prediction_json_path: Optional[str] = None
     gt_json_path: Optional[str] = None

@@ -50,5 +50,28 @@ def save_checkpoint(output_dir: str, step: int, state: dict, save_total_limit: O
 
 
 def load_checkpoint(path: str, template: dict) -> dict:
+    """Restore an orbax checkpoint against a template pytree.
+
+    Compatibility note (ADVICE r2): checkpoints written before the
+    EnhancedDepthImageRatioPredictor BatchNorm merge (three per-branch
+    scale{0,1,2}_bn -> one 192-channel scales_bn; commit "Fuse Swin QKV...",
+    round 2) have a different tree and will fail structure validation here.
+    Migration is a pure concatenation — scales_bn.{scale,bias} and
+    batch_stats scales_bn.{mean,var} are the scale0/1/2_bn arrays concatenated
+    in branch order (64+64+64=192), exactly as
+    utils.hf_convert.convert_enhanced_ratio_predictor does from torch
+    checkpoints; Adam moments migrate the same way. No such pre-merge
+    checkpoint was ever shipped by this repo."""
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path), template)
+
+
+def load_checkpoint_partial(path: str, template: dict) -> dict:
+    """Restore only the subtree named by `template` from a full training
+    checkpoint (params/opt_state/batch_stats/step/rng) — the inference path
+    (predict.py) wants params + batch_stats without materializing optimizer
+    moments or knowing the checkpoint's optimizer/RNG structure."""
+    ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+    return ckptr.restore(
+        os.path.abspath(path), args=ocp.args.PyTreeRestore(item=template, partial_restore=True)
+    )

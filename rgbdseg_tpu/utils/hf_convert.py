@@ -237,6 +237,145 @@ def graft(init_params: dict, pretrained: dict, path: str = "") -> tuple[dict, li
     return merged, skipped
 
 
+def _p(prefix: str) -> str:
+    """Join a (possibly empty) state_dict prefix: '' -> '', 'x' -> 'x.'."""
+    return prefix + "." if prefix else ""
+
+
+def _bn_params(sd, prefix):
+    return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+
+def _bn_stats(sd, prefix):
+    return {"mean": sd[prefix + ".running_mean"], "var": sd[prefix + ".running_var"]}
+
+
+def convert_dsam(sd: dict, prefix: str, num_regions: int = 3) -> dict:
+    """Reference DSAModule (custom_model.py:622-645) -> models.fusion.DSAModule.
+
+    Strided (in != out) modules carry a bias-free rgb_projection; detect it
+    from the state_dict rather than taking a flag."""
+    p = {f"conv{i}": _conv(sd, f"{_p(prefix)}conv_layers.{i}") for i in range(num_regions + 1)}
+    if f"{_p(prefix)}rgb_projection.weight" in sd:
+        p["rgb_projection"] = _conv(sd, f"{_p(prefix)}rgb_projection", bias=False)
+    return p
+
+
+def convert_feature_fuser(sd: dict, prefix: str, scales: int = 4) -> dict:
+    """Reference FeatureFuser (custom_model.py:505-540)."""
+    return {f"fuse{i}": _conv(sd, f"{_p(prefix)}fuse_conv.{i}.0") for i in range(scales)}
+
+
+def convert_feature_fuser_attn(sd: dict, prefix: str, scales: int = 4) -> dict:
+    """Reference FeatureFuserWithSpatialAttention (custom_model.py:567-619)."""
+    p = {f"fuse{i}": _conv(sd, f"{_p(prefix)}fuse_conv.{i}.0") for i in range(scales)}
+    for i in range(scales):
+        p[f"spatial_attention{i}"] = {"conv": _conv(sd, f"{_p(prefix)}spatial_attentions.{i}.conv")}
+    return p
+
+
+def convert_dggm(sd: dict, prefix: str, kind: str, scales: int = 4) -> dict:
+    """Reference DepthGradientInjection{,WithMask,Residual} (custom_model.py:
+    1009-1269) -> models.fusion DGGM variants."""
+    if kind == "residual":
+        return {
+            f"enhance{i}": _conv(sd, f"{_p(prefix)}depth_enhancement_layers.{i}.0")
+            for i in range(scales)
+        }
+    return {f"fusion{i}": _conv(sd, f"{_p(prefix)}fusion_layers.{i}.0") for i in range(scales)}
+
+
+def convert_ratio_predictor(sd: dict, prefix: str) -> dict:
+    """Reference RatioPredictor (custom_model.py:823-897): fc at .0/.2/.4."""
+    return {f"fc{i}": _dense(sd, f"{_p(prefix)}fc_layers.{j}") for i, j in enumerate((0, 2, 4))}
+
+
+def convert_intrinsics_predictor(sd: dict, prefix: str) -> dict:
+    """Reference IntrinsicsPredictorFromDepthImage (custom_model.py:900-1006)."""
+    p = {f"conv{i}": _conv(sd, f"{_p(prefix)}conv_backbone.{j}") for i, j in enumerate((0, 2, 4))}
+    p.update({f"fc{i}": _dense(sd, f"{_p(prefix)}fc_layers.{j}") for i, j in enumerate((0, 2, 4))})
+    return p
+
+
+def convert_depth_image_ratio_predictor(sd: dict, prefix: str) -> tuple[dict, dict]:
+    """Reference DepthImageRatioPredictor (custom_model.py:1272-1360).
+
+    Returns (params, batch_stats): torch BatchNorm2d running stats map to the
+    flax `batch_stats` collection."""
+    fe = f"{_p(prefix)}depth_feature_extractor"
+    p, bs = {}, {}
+    for i, j in enumerate((0, 4, 8, 12)):
+        p[f"conv{i}"] = _conv(sd, f"{fe}.{j}")
+        p[f"bn{i}"] = _bn_params(sd, f"{fe}.{j + 1}")
+        bs[f"bn{i}"] = _bn_stats(sd, f"{fe}.{j + 1}")
+    for i, j in enumerate((0, 3, 6)):
+        p[f"fc{i}"] = _dense(sd, f"{_p(prefix)}fc_layers.{j}")
+    return p, bs
+
+
+def convert_enhanced_ratio_predictor(sd: dict, prefix: str) -> tuple[dict, dict]:
+    """Reference EnhancedDepthImageRatioPredictor (custom_model.py:1363-1487).
+
+    Returns (params, batch_stats). The three per-branch BatchNorms
+    (scale{1,2,3}_conv.1) concatenate into the single `scales_bn` over the
+    192-channel concat — bit-identical math (BN statistics are per-channel);
+    this doubles as the migration recipe for pre-rename checkpoints."""
+    p, bs = {}, {}
+    for i in range(3):
+        p[f"scale{i}_conv"] = _conv(sd, f"{_p(prefix)}scale{i + 1}_conv.0")
+    cat = lambda key: np.concatenate(  # noqa: E731
+        [sd[f"{_p(prefix)}scale{i + 1}_conv.1.{key}"] for i in range(3)]
+    )
+    p["scales_bn"] = {"scale": cat("weight"), "bias": cat("bias")}
+    bs["scales_bn"] = {"mean": cat("running_mean"), "var": cat("running_var")}
+    p["fusion_conv"] = _conv(sd, f"{_p(prefix)}feature_fusion.0")
+    p["fusion_bn"] = _bn_params(sd, f"{_p(prefix)}feature_fusion.1")
+    bs["fusion_bn"] = _bn_stats(sd, f"{_p(prefix)}feature_fusion.1")
+    p["attn_conv0"] = _conv(sd, f"{_p(prefix)}attention.0")
+    p["attn_conv1"] = _conv(sd, f"{_p(prefix)}attention.2")
+    for i, j in enumerate((0, 4)):
+        p[f"extract_conv{i}"] = _conv(sd, f"{_p(prefix)}feature_extractor.{j}")
+        p[f"extract_bn{i}"] = _bn_params(sd, f"{_p(prefix)}feature_extractor.{j + 1}")
+        bs[f"extract_bn{i}"] = _bn_stats(sd, f"{_p(prefix)}feature_extractor.{j + 1}")
+    for i, j in enumerate((0, 3, 6, 8)):
+        p[f"fc{i}"] = _dense(sd, f"{_p(prefix)}fc_layers.{j}")
+    return p, bs
+
+
+def convert_pixel_level_module(state_dict: dict, cfg) -> tuple[dict, dict]:
+    """Reference CustomMask2FormerPixelLevelModule state_dict (bare module:
+    keys 'encoder.*', 'decoder.*', 'dsam0.*', ...; custom_model.py:56-141) ->
+    (params, batch_stats) for models.mask2former.PixelLevelModule at the same
+    version. Covers every fusion attribute the constructor can create."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    from ..versions import get as get_version
+
+    fusion = get_version(cfg.version).fusion
+    p: dict = {
+        "encoder": convert_swin_backbone(sd, "encoder", cfg.backbone.depths),
+        "pixel_decoder": convert_pixel_decoder(sd, "decoder", cfg.encoder_layers),
+    }
+    bs: dict = {}
+    if fusion.dual_backbone:
+        p["depth_encoder"] = convert_swin_backbone(sd, "depth_encoder", cfg.backbone.depths)
+    if fusion.dsam:
+        p["dsam_cascade"] = {
+            f"dsam{k}": convert_dsam(sd, f"dsam{k}", cfg.dsam_num_regions) for k in range(3)
+        }
+    if fusion.ratio == "backbone":
+        p["ratio_predictor"] = convert_ratio_predictor(sd, "ratio_predictor")
+    elif fusion.ratio == "enhanced":
+        p["ratio_predictor"], rbs = convert_enhanced_ratio_predictor(sd, "ratio_predictor")
+        bs["ratio_predictor"] = rbs
+    if fusion.dggm is not None:
+        p["dggm"] = convert_dggm(sd, "depth_gradient_injection", fusion.dggm)
+    if fusion.feature_fuser:
+        p["feature_fuser"] = convert_feature_fuser(sd, "feature_fuser")
+    if fusion.intrinsics_normals:
+        p["intrinsics_predictor"] = convert_intrinsics_predictor(sd, "intrinsics_predictor")
+    return p, bs
+
+
 def convert_mask2former(state_dict: dict, cfg) -> dict:
     """Full HF Mask2FormerForUniversalSegmentation state_dict -> flax params."""
     sd = {k: np.asarray(v) for k, v in state_dict.items()}

@@ -20,8 +20,9 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the suite jits hundreds of programs and this box
 # may have a single CPU core — cold-compiling everything takes >30 min, cached
 # reruns minutes. Cache entries key on HLO + flags, so correctness is safe.
-os.makedirs("/tmp/jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+_cache_dir = os.environ.get("RGBDSEG_TEST_CACHE_DIR", "/tmp/jax_cache")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # This JAX build's DEFAULT matmul/conv precision loses ~1e-3 accuracy even on

@@ -60,6 +60,7 @@ def _targets(b=2, t=5, hw=HW):
     return jnp.asarray(masks), jnp.asarray(classes), jnp.asarray(valid)
 
 
+@pytest.mark.slow  # compile-heavy: demoted from the fast default suite (VERDICT r2 #9)
 def test_loss_and_gradients():
     cfg, model, x, variables = _make("0.0.0")
     masks, classes, valid = _targets()

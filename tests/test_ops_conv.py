@@ -47,3 +47,41 @@ def test_conv2d_lowcin_gradients():
     g2 = jax.grad(lambda x, k: jnp.sum(_ref_conv(x, k) ** 2), argnums=(0, 1))(x, kernel)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+def test_conv2d_patchify_matches_lax_conv():
+    """Patch embed (stride == kernel, VALID) vs lax conv, incl. gradients —
+    the formulation behind every Swin patch_embed (ADVICE r2 #2)."""
+    from rgbdseg_tpu.ops.conv import conv2d_patchify
+
+    rng = np.random.RandomState(3)
+    for cin, patch in [(3, 4), (10, 4), (30, 2), (1, 7)]:
+        h, w = 3 * patch, 5 * patch
+        x = jnp.asarray(rng.randn(2, h, w, cin), jnp.float32)
+        kernel = jnp.asarray(rng.randn(patch, patch, cin, 16) * 0.2, jnp.float32)
+        bias = jnp.asarray(rng.randn(16) * 0.1, jnp.float32)
+
+        dn = lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+        ref = lax.conv_general_dilated(
+            x, kernel, (patch, patch), "VALID", dimension_numbers=dn
+        ) + bias
+        np.testing.assert_allclose(
+            np.asarray(conv2d_patchify(x, kernel, bias)),
+            np.asarray(ref),
+            atol=1e-5,
+            rtol=1e-5,
+            err_msg=f"cin={cin} patch={patch}",
+        )
+
+    x = jnp.asarray(rng.randn(1, 8, 12, 3), jnp.float32)
+    kernel = jnp.asarray(rng.randn(4, 4, 3, 8) * 0.2, jnp.float32)
+    dn = lax.conv_dimension_numbers(x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+    g1 = jax.grad(lambda x, k: jnp.sum(conv2d_patchify(x, k) ** 2), argnums=(0, 1))(x, kernel)
+    g2 = jax.grad(
+        lambda x, k: jnp.sum(
+            lax.conv_general_dilated(x, k, (4, 4), "VALID", dimension_numbers=dn) ** 2
+        ),
+        argnums=(0, 1),
+    )(x, kernel)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)

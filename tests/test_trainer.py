@@ -161,6 +161,7 @@ def test_multi_device_step_matches_single_device(datasets, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+@pytest.mark.slow  # compile-heavy: demoted from the fast default suite (VERDICT r2 #9)
 def test_tensor_parallel_step_matches_single_device(datasets, tmp_path):
     """dp x mp parity: one train step on a (2, 2) ('data', 'model') mesh with
     Megatron-sharded transformer params (parallel/sharding.py) produces the
@@ -210,6 +211,7 @@ def test_tensor_parallel_step_matches_single_device(datasets, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+@pytest.mark.slow  # compile-heavy: demoted from the fast default suite (VERDICT r2 #9)
 def test_gradient_accumulation_matches_mean_gradient(datasets, tmp_path):
     """ga plumbing is exact: two accumulated micro-steps + apply equals one
     AdamW update on the hand-computed mean of the two micro-batch gradients
@@ -375,6 +377,7 @@ def test_predict_and_export(datasets, tmp_path):
     assert os.path.exists(os.path.join(comp, "comparison_0.png"))
 
 
+@pytest.mark.slow  # compile-heavy: demoted from the fast default suite (VERDICT r2 #9)
 def test_resume_matches_uninterrupted_run(datasets, tmp_path):
     """Golden resume equivalence (reference methodology §4.1 + HF rng_state
     semantics): 4 epochs straight == 2 epochs + checkpoint + resume + 2 — the
