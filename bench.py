@@ -72,7 +72,11 @@ def _mfu_fields(flops_per_call: float, images_per_sec: float, batch: int) -> dic
         return {}
     tflops = flops_per_call * images_per_sec / batch / 1e12
     kind = jax.devices()[0].device_kind
-    peak = next((v for k, v in _PEAK_BF16.items() if kind.startswith(k)), None)
+    # LONGEST matching prefix: "TPU v5 lite" must select the v5e peak (197),
+    # not the bare "TPU v5" v5p entry (459). The shortest-first next() here
+    # underreported MFU 2.33x for rounds 1-2 (10.03% reported, 23.4% true).
+    matches = [k for k in _PEAK_BF16 if kind.startswith(k)]
+    peak = _PEAK_BF16[max(matches, key=len)] if matches else None
     out = {"tflops_per_sec": round(tflops, 2)}
     if peak:
         out["mfu"] = round(tflops * 1e12 / peak, 4)
