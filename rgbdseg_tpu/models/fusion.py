@@ -17,6 +17,7 @@ collection (torch BatchNorm2d parity, momentum 0.1 / eps 1e-5).
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import flax.linen as nn
@@ -25,7 +26,7 @@ import jax.numpy as jnp
 
 from ..ops.conv import conv2d_lowcin, merge_multiscale_kernels
 from .common import ConvParams
-from ..ops.depth_decomp import dsam_region_masks
+from ..ops.depth_decomp import dsam_region_masks, dsam_region_masks_pooled
 from ..ops.image import to_grayscale
 from ..ops.resize import (
     adaptive_avg_pool2d,
@@ -39,6 +40,65 @@ def _bn(name: str, deterministic: bool):
     return nn.BatchNorm(
         use_running_average=deterministic, momentum=0.9, epsilon=1e-5, name=name
     )
+
+
+def _fold_bn() -> bool:
+    return os.environ.get("RGBDSEG_FOLD_BN", "1") != "0"
+
+
+def _bn_affine(mod: nn.Module, bn_name: str, eps: float = 1e-5):
+    """Eval-mode BatchNorm is a per-channel affine y = a*x + c; read (a, c)
+    straight from the module's variable tree (params scale/bias + batch_stats
+    mean/var) so the affine can be folded into the preceding conv's weights.
+    Only valid when the variables already exist (i.e. not during init)."""
+    p = mod.variables["params"][bn_name]
+    s = mod.variables["batch_stats"][bn_name]
+    a = p["scale"].astype(jnp.float32) * jax.lax.rsqrt(s["var"].astype(jnp.float32) + eps)
+    c = p["bias"].astype(jnp.float32) - s["mean"].astype(jnp.float32) * a
+    return a, c
+
+
+def _conv_bn_relu(
+    mod: nn.Module,
+    x,
+    features: int,
+    ksize: tuple,
+    conv_name: str,
+    bn_name: str,
+    deterministic: bool,
+    strides=(1, 1),
+    padding="SAME",
+):
+    """conv -> BatchNorm -> ReLU with the BN folded into the conv weights in
+    eval mode (y = conv(x, K*a) + (b*a + c)), exact up to one float
+    reassociation per tap. Motivation (frame profile 2026-08-20): the eval BN
+    ran as a separate full-resolution pass with layout copies on both sides —
+    0.4 ms ReLU pass + 0.44 ms layout copy around E-DSAM's fusion_conv alone.
+    Train mode uses the stock nn.Conv + nn.BatchNorm modules (running-stats
+    update and all); the parameter tree is IDENTICAL in both modes.
+    RGBDSEG_FOLD_BN=0 restores the unfolded eval path for A/B."""
+    if deterministic and not mod.is_initializing() and _fold_bn():
+        k, b = ConvParams(features, ksize, name=conv_name)(x.shape[-1])
+        a, c = _bn_affine(mod, bn_name)
+        ct = jnp.result_type(x.dtype, k.dtype)
+        kf = (k.astype(jnp.float32) * a).astype(ct)
+        bf = (b.astype(jnp.float32) * a + c).astype(ct)
+        if isinstance(padding, int):
+            pad = ((padding, padding), (padding, padding))
+        elif isinstance(padding, str):
+            pad = padding
+        else:
+            pad = tuple(padding)
+        y = jax.lax.conv_general_dilated(
+            x.astype(ct),
+            kf,
+            window_strides=tuple(strides),
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return nn.relu(y + bf)
+    y = nn.Conv(features, ksize, strides=strides, padding=padding, name=conv_name)(x)
+    return nn.relu(_bn(bn_name, deterministic)(y))
 
 
 class FeatureFuser(nn.Module):
@@ -146,20 +206,47 @@ class DSAMCascade(nn.Module):
         # color_maps: list of 4 NHWC maps; depth_3ch: (B, H, W, 3) normalized
         # depth image; ratio: (B,) window-size ratio.
         gray = to_grayscale(depth_3ch)  # (B, H, W)
-        masks, active = dsam_region_masks(
-            gray, ratio, num_modes=self.num_regions, bins=self.hist_bins, prominence_frac=self.prominence
-        )
         maps = list(color_maps)
         # Chain-pool the region masks down the pyramid: stage k needs them at
         # maps[k]'s resolution, and max-pooling the previous stage's pooled
-        # masks is exact when the sizes divide (uniform windows compose) —
-        # the full-res (B, H, W, T+1) tensor is then read once, not 3 times.
-        mk_full = masks.transpose(0, 2, 3, 1)  # (B, H, W, T+1)
-        mk = mk_full
+        # masks is exact when the sizes divide (uniform windows compose).
+        # When the input divides stage 0's resolution, the window compare is
+        # FUSED with the first max-pool (dsam_region_masks_pooled) so the
+        # full-res (B, H, W, T+1) f32 masks are never materialized at all;
+        # otherwise fall back to full-res masks + adaptive pooling.
+        th0, tw0 = maps[0].shape[1:3]
+        sizes = [m.shape[1:3] for m in maps[:3]]
+        chain_ok = (
+            gray.shape[1] % th0 == 0
+            and gray.shape[2] % tw0 == 0
+            # later stages chain-pool from stage k-1; the fused path has no
+            # true full-res fallback, so every link must divide exactly
+            and all(
+                sizes[k][0] % sizes[k + 1][0] == 0 and sizes[k][1] % sizes[k + 1][1] == 0
+                for k in range(2)
+            )
+        )
+        if chain_ok:
+            mk, active = dsam_region_masks_pooled(
+                gray,
+                ratio,
+                (th0, tw0),
+                num_modes=self.num_regions,
+                bins=self.hist_bins,
+                prominence_frac=self.prominence,
+            )
+            mk_full = mk  # stage-0-resolution masks are the fallback source
+        else:
+            masks, active = dsam_region_masks(
+                gray, ratio, num_modes=self.num_regions, bins=self.hist_bins, prominence_frac=self.prominence
+            )
+            mk_full = masks.transpose(0, 2, 3, 1)  # (B, H, W, T+1)
+            mk = mk_full
         for k in range(3):
             th, tw = maps[k].shape[1:3]
-            src = mk if (mk.shape[1] % th == 0 and mk.shape[2] % tw == 0) else mk_full
-            mk = adaptive_max_pool2d(src, (th, tw))
+            if mk.shape[1:3] != (th, tw):
+                src = mk if (mk.shape[1] % th == 0 and mk.shape[2] % tw == 0) else mk_full
+                mk = adaptive_max_pool2d(src, (th, tw))
             dsam = DSAModule(
                 in_channels=self.channels[k],
                 out_channels=self.channels[k + 1],
@@ -195,19 +282,25 @@ class DepthImageRatioPredictor(nn.Module):
     @nn.compact
     def __call__(self, depth, deterministic: bool = True):
         x = depth
+        fold = deterministic and not self.is_initializing() and _fold_bn()
         for i, ch in enumerate((32, 64, 128)):
             if i == 0:
                 # full-res conv from 3 channels: im2col matmul (ops/conv.py)
                 k, b = ConvParams(ch, (3, 3), name=f"conv{i}")(x.shape[-1])
-                x = conv2d_lowcin(x, k) + b
+                if fold:
+                    a, c = _bn_affine(self, f"bn{i}")
+                    k = (k.astype(jnp.float32) * a).astype(x.dtype)
+                    x = conv2d_lowcin(x, k)
+                    x = nn.relu(x + (b.astype(jnp.float32) * a + c).astype(x.dtype))
+                else:
+                    x = conv2d_lowcin(x, k) + b
+                    x = nn.relu(_bn(f"bn{i}", deterministic)(x))
             else:
-                x = nn.Conv(ch, (3, 3), padding=1, name=f"conv{i}")(x)
-            x = _bn(f"bn{i}", deterministic)(x)
-            x = nn.relu(x)
+                x = _conv_bn_relu(
+                    self, x, ch, (3, 3), f"conv{i}", f"bn{i}", deterministic, padding=1
+                )
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = nn.Conv(256, (3, 3), padding=1, name="conv3")(x)
-        x = _bn("bn3", deterministic)(x)
-        x = nn.relu(x)
+        x = _conv_bn_relu(self, x, 256, (3, 3), "conv3", "bn3", deterministic, padding=1)
         x = jnp.mean(x, axis=(1, 2))
         x = nn.relu(nn.Dense(64, name="fc0")(x))
         x = nn.Dropout(0.2, deterministic=deterministic)(x)
@@ -238,29 +331,65 @@ class EnhancedDepthImageRatioPredictor(nn.Module):
             )
         )
         merged = merge_multiscale_kernels(list(kernels))
-        y = conv2d_lowcin(depth, merged) + jnp.concatenate(biases)
+        bias = jnp.concatenate(biases)
         # One 192-channel BN instead of three per-branch 64-channel BNs:
         # BatchNorm statistics are per-channel over (B, H, W), so normalizing
         # the concatenated branches jointly is bit-identical math in both
         # train and eval — but the slice -> bn -> relu -> re-concat chain cost
         # ~0.9 ms of full-res layout copies per 640x480 frame (HLO profile
         # 2026-08-20: copy.3834 + pad_maximum_fusion on bf16[1,480,640,192]).
-        x = nn.relu(_bn("scales_bn", deterministic)(y))
-        x = nn.Conv(128, (1, 1), name="fusion_conv")(x)
-        x = _bn("fusion_bn", deterministic)(x)
-        x = nn.relu(x)
+        # In eval the BN affine folds into the merged kernel (see _conv_bn_relu).
+        fold = deterministic and not self.is_initializing() and _fold_bn()
+        if fold:
+            a, c = _bn_affine(self, "scales_bn")
+            merged = (merged.astype(jnp.float32) * a).astype(depth.dtype)
+            bias = (bias.astype(jnp.float32) * a + c).astype(depth.dtype)
+        if os.environ.get("RGBDSEG_EDSAM_CONV") == "conv":
+            # A/B twin: XLA's native conv lowering of the merged 7x7 C_in=3
+            # conv (vs the default shifted-slice im2col matmul).
+            y = jax.lax.conv_general_dilated(
+                depth,
+                merged.astype(depth.dtype),
+                (1, 1),
+                "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bias.astype(depth.dtype)
+        else:
+            y = conv2d_lowcin(depth, merged) + bias.astype(depth.dtype)
+        if fold:
+            x = nn.relu(y)
+        else:
+            x = nn.relu(_bn("scales_bn", deterministic)(y))
+        if fold and os.environ.get("RGBDSEG_EDSAM_FLAT") == "1":
+            # A/B variant: run the 1x1 fusion/attention chain as flat channel
+            # matmuls on (B*H*W, C) — one layout world from the im2col dot to
+            # extract_conv0, avoiding the dot<->conv layout copies the profile
+            # attributes to this chain (0.44 + 0.40 ms at 640x480).
+            bsz, hh, ww, _ = x.shape
+            z = x.reshape(-1, x.shape[-1])
+            kf, bf = ConvParams(128, (1, 1), name="fusion_conv")(z.shape[-1])
+            a2, c2 = _bn_affine(self, "fusion_bn")
+            km = (kf.reshape(-1, 128).astype(jnp.float32) * a2).astype(z.dtype)
+            z = nn.relu(z @ km + (bf.astype(jnp.float32) * a2 + c2).astype(z.dtype))
+            k0, b0 = ConvParams(64, (1, 1), name="attn_conv0")(128)
+            att = nn.relu(z @ k0.reshape(-1, 64).astype(z.dtype) + b0.astype(z.dtype))
+            k1, b1 = ConvParams(128, (1, 1), name="attn_conv1")(64)
+            att = jax.nn.sigmoid(att @ k1.reshape(-1, 128).astype(z.dtype) + b1.astype(z.dtype))
+            x = (z * att).reshape(bsz, hh, ww, 128)
+        else:
+            x = _conv_bn_relu(self, x, 128, (1, 1), "fusion_conv", "fusion_bn", deterministic)
 
-        a = nn.relu(nn.Conv(64, (1, 1), name="attn_conv0")(x))
-        a = jax.nn.sigmoid(nn.Conv(128, (1, 1), name="attn_conv1")(a))
-        x = x * a
+            a = nn.relu(nn.Conv(64, (1, 1), name="attn_conv0")(x))
+            a = jax.nn.sigmoid(nn.Conv(128, (1, 1), name="attn_conv1")(a))
+            x = x * a
 
-        x = nn.Conv(256, (3, 3), padding=1, name="extract_conv0")(x)
-        x = _bn("extract_bn0", deterministic)(x)
-        x = nn.relu(x)
+        x = _conv_bn_relu(
+            self, x, 256, (3, 3), "extract_conv0", "extract_bn0", deterministic, padding=1
+        )
         x = adaptive_avg_pool2d(x, (4, 4))
-        x = nn.Conv(512, (3, 3), padding=1, name="extract_conv1")(x)
-        x = _bn("extract_bn1", deterministic)(x)
-        x = nn.relu(x)
+        x = _conv_bn_relu(
+            self, x, 512, (3, 3), "extract_conv1", "extract_bn1", deterministic, padding=1
+        )
         x = jnp.mean(x, axis=(1, 2))
 
         x = nn.relu(nn.Dense(128, name="fc0")(x))

@@ -131,18 +131,27 @@ class WindowAttention(nn.Module):
             qkv = qkv + jnp.concatenate([bq, bk, bv]).astype(ct)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def heads(t):
-            return t.reshape(nb, n, self.num_heads, hd).transpose(0, 2, 1, 3)
-
-        q, k, v = heads(q), heads(k), heads(v)
-        # Scores, bias add, and softmax in f32 (the shift mask's -100 additive
-        # bias and softmax want full range); probabilities cast back to the
-        # compute dtype for the PV matmul. Without the final cast, the f32
-        # shift mask silently promoted every shifted block — and everything
-        # downstream of it, i.e. the whole model — to f32 under bf16 mixed
-        # precision.
+        # Heads stay in the (nb, n, heads, hd) layout produced by the QKV
+        # matmul — the einsums below carry the head axis as a batch dim
+        # directly, so no explicit (0, 2, 1, 3) transpose copies are emitted
+        # (the frame profile showed 2 x ~0.05 ms of pure head-transpose copies
+        # per stage-0 block).
+        q = q.reshape(nb, n, self.num_heads, hd)
+        k = k.reshape(nb, n, self.num_heads, hd)
+        v = v.reshape(nb, n, self.num_heads, hd)
+        # Score/bias/softmax numerics are f32 (the shift mask's -100 additive
+        # bias and softmax want full range); under bf16 mixed precision the
+        # score MATERIALIZATION is bf16 (dtype-keyed, like the tent stage-1 in
+        # ops/kernels/deformable.py) — the (nB, heads, 49, 49) f32 score
+        # tensors were pure HBM traffic, and bf16 rounding of the logits is
+        # within the model's existing bf16 noise. The f32 path is unchanged
+        # (HF parity tests run there). Probabilities cast back to the compute
+        # dtype for the PV matmul: without that cast, the f32 shift mask
+        # silently promoted every shifted block — and everything downstream,
+        # i.e. the whole model — to f32 under bf16 mixed precision.
+        score_dtype = jnp.bfloat16 if v.dtype == jnp.bfloat16 else jnp.float32
         attn = jnp.einsum(
-            "bhqd,bhkd->bhqk", q * (hd**-0.5), k, preferred_element_type=jnp.float32
+            "bqhd,bkhd->bhqk", q * (hd**-0.5), k, preferred_element_type=score_dtype
         )
 
         rpb_table = self.param(
@@ -152,7 +161,7 @@ class WindowAttention(nn.Module):
         )
         rpi = jnp.asarray(_relative_position_index(self.window_size).reshape(-1))
         bias = rpb_table[rpi].reshape(n, n, self.num_heads).transpose(2, 0, 1)
-        attn = attn + bias[None].astype(jnp.float32)
+        attn = attn.astype(jnp.float32) + bias[None].astype(jnp.float32)
 
         if attn_mask is not None:
             nw = attn_mask.shape[0]
@@ -161,8 +170,7 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(nb, self.num_heads, n, n)
 
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(nb, n, c)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(nb, n, c)
         out = nn.Dense(c, name="proj")(out)
         return out
 

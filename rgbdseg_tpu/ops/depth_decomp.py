@@ -201,6 +201,75 @@ def region_masks(
     return masks.astype(jnp.float32), active.astype(jnp.float32)
 
 
+def region_masks_pooled(
+    depth: jnp.ndarray,
+    centers: jnp.ndarray,
+    valid: jnp.ndarray,
+    ratio: jnp.ndarray,
+    out_size: tuple[int, int],
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """`region_masks` fused with its consumer's max-pool (VERDICT r2 #5's
+    "fuse the DSAM region-mask compare into the pooled-feature consumer").
+
+    The cascade only ever reads the region masks max-pooled to the feature
+    resolutions, so the full-res (T+1, H, W) f32 masks never need to exist:
+    the window compare reduces straight to (T+1, th, tw). Exactness vs
+    pool(region_masks(...)): per-slot selection commutes with the spatial max
+    because the slot conditions (slots < k / == k) are per-sample scalars, and
+    the remainder pools as max(NOT any_window) == NOT all(any_window).
+    Requires H % th == 0 and W % tw == 0 (callers fall back otherwise).
+    """
+    t = centers.shape[0]
+    th, tw = out_size
+    h, w = depth.shape
+    fh, fw = h // th, w // tw
+    half = centers * ratio / 2.0
+    lows = jnp.maximum(0.0, centers - half)
+    highs = centers + half
+    d = depth[None, :, :]
+    win = (d >= lows[:, None, None]) & (d <= highs[:, None, None])
+    win = win & valid[:, None, None]
+    anywin = jnp.any(win, axis=0)
+    winp = jnp.any(win.reshape(t, th, fh, tw, fw), axis=(2, 4))
+    remp = ~jnp.all(anywin.reshape(th, fh, tw, fw), axis=(1, 3))
+
+    k = jnp.sum(valid.astype(jnp.int32))
+    slots = jnp.arange(t + 1)
+    win_full = jnp.concatenate([winp, jnp.zeros((1, th, tw), bool)], axis=0)
+    masks = jnp.where(
+        (slots < k)[:, None, None],
+        win_full,
+        jnp.where((slots == k)[:, None, None], remp[None], False),
+    )
+    active = jnp.where(k == 0, jnp.ones((t + 1,), bool), slots <= k)
+    masks = jnp.where(k == 0, jnp.zeros_like(masks), masks)
+    return masks.astype(jnp.float32), active.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "num_modes", "bins", "prominence_frac"))
+def dsam_region_masks_pooled(
+    depth: jnp.ndarray,
+    ratio: jnp.ndarray,
+    out_size: tuple[int, int],
+    num_modes: int = 3,
+    bins: int = 512,
+    prominence_frac: float = 0.01,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched fused decomposition: (B, H, W) depth + (B,) ratio ->
+    (masks (B, th, tw, T+1) NHWC float32, active (B, T+1)). Equals
+    `adaptive_max_pool2d(dsam_region_masks(...) as NHWC, out_size)` exactly
+    (pinned by tests/test_ops_depth.py) without materializing the full-res
+    masks."""
+
+    def single(d, r):
+        hist, lo, width = depth_histogram(d, bins)
+        centers, valid = select_modes(hist, lo, width, num_modes, prominence_frac)
+        m, a = region_masks_pooled(d, centers, valid, r, out_size)
+        return m.transpose(1, 2, 0), a
+
+    return jax.vmap(single)(depth, ratio)
+
+
 @functools.partial(jax.jit, static_argnames=("num_modes", "bins", "prominence_frac"))
 def dsam_region_masks(
     depth: jnp.ndarray,

@@ -112,3 +112,34 @@ def test_loss_deterministic_given_key():
     t1, _ = mask2former_loss(cfg, out, masks, classes, valid, jax.random.PRNGKey(3))
     t2, _ = mask2former_loss(cfg, out, masks, classes, valid, jax.random.PRNGKey(3))
     assert float(t1) == float(t2)
+
+
+@pytest.mark.parametrize("env", [{"RGBDSEG_FOLD_BN": "0"}, {"RGBDSEG_EDSAM_CONV": "conv"}])
+def test_bn_fold_and_conv_twin_match_default(env, monkeypatch):
+    """Eval-mode BatchNorm folding (models/fusion.py::_conv_bn_relu, default
+    on) and the native-conv twin of the E-DSAM merged front conv must match
+    the unfolded/im2col eval forward to f32 reassociation tolerance on the
+    full 0.4.0 model (randomized running stats so the affine is non-trivial)."""
+    cfg, model, x, variables = _make("0.4.0")
+    rng = np.random.RandomState(3)
+    bs = jax.tree.map(
+        lambda t: jnp.asarray(rng.rand(*t.shape) * 0.5 + 0.75, t.dtype),
+        variables.get("batch_stats", {}),
+    )
+    vs = {"params": variables["params"], "batch_stats": bs}
+    base = model.apply(vs, x, deterministic=True)
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    other = model.apply(vs, x, deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(other.class_queries_logits),
+        np.asarray(base.class_queries_logits),
+        atol=5e-5,
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(other.masks_queries_logits),
+        np.asarray(base.masks_queries_logits),
+        atol=5e-5,
+        rtol=1e-5,
+    )

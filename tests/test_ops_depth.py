@@ -220,3 +220,42 @@ def test_grayscale():
     x = rng.rand(5, 7, 3).astype(np.float32)
     ref = 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
     np.testing.assert_allclose(np.asarray(to_grayscale(jnp.asarray(x))), ref, rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_dsam_region_masks_pooled_equals_pool_of_full(seed):
+    """The fused compare+pool path (dsam_region_masks_pooled) must equal
+    max-pooling the full-res masks — including NaN holes, degenerate
+    constant depth (K=0..T corner coverage comes from the random modes)."""
+    from rgbdseg_tpu.ops.resize import adaptive_max_pool2d
+
+    rng = np.random.RandomState(seed)
+    d = np.concatenate(
+        [
+            rng.normal(10, 1, size=500),
+            rng.normal(40, 2, size=600),
+            rng.uniform(0, 80, size=436),
+        ]
+    ).astype(np.float32)
+    rng.shuffle(d)
+    d = d.reshape(2, 24, 32)
+    d[0, 0, :7] = np.nan
+    ratio = jnp.asarray([0.1, 0.35], jnp.float32)
+    depth = jnp.asarray(d)
+
+    full, active_full = D.dsam_region_masks(depth, ratio)
+    pooled, active_p = D.dsam_region_masks_pooled(depth, ratio, (6, 8))
+    expected = adaptive_max_pool2d(jnp.transpose(full, (0, 2, 3, 1)), (6, 8))
+    np.testing.assert_array_equal(np.asarray(pooled), np.asarray(expected))
+    np.testing.assert_array_equal(np.asarray(active_p), np.asarray(active_full))
+
+
+def test_dsam_region_masks_pooled_constant_depth():
+    depth = jnp.full((1, 16, 16), 5.0, jnp.float32)
+    from rgbdseg_tpu.ops.resize import adaptive_max_pool2d
+
+    full, af = D.dsam_region_masks(depth, jnp.asarray([0.2], jnp.float32))
+    pooled, ap = D.dsam_region_masks_pooled(depth, jnp.asarray([0.2], jnp.float32), (4, 4))
+    expected = adaptive_max_pool2d(jnp.transpose(full, (0, 2, 3, 1)), (4, 4))
+    np.testing.assert_array_equal(np.asarray(pooled), np.asarray(expected))
+    np.testing.assert_array_equal(np.asarray(ap), np.asarray(af))
