@@ -139,11 +139,16 @@ def bench_train():
         (params, opt_state, batch_stats, *batches[0]),
     )
     params, opt_state, batch_stats, loss = step(params, opt_state, batch_stats, *batches[0])
-    jax.block_until_ready(loss)
+    float(loss)
     t0 = time.perf_counter()
     for b in batches[1:]:
         params, opt_state, batch_stats, loss = step(params, opt_state, batch_stats, *b)
-    jax.block_until_ready(loss)
+    # Force an actual VALUE fetch: through the axon tunnel,
+    # jax.block_until_ready on the donated-buffer step chain returns early
+    # (measured 2026-08-21: 6 chained 109 ms steps "completed" in 49 ms wall,
+    # reporting 122 img/s / 181% MFU — physically impossible). float() blocks
+    # on the real result; the loss depends on the whole step chain.
+    float(loss)
     dt = time.perf_counter() - t0
 
     images_per_sec = batch * iters / dt
@@ -166,7 +171,11 @@ def bench_eval():
     from rgbdseg_tpu.train.evaluator import Evaluator
     from rgbdseg_tpu.data.pipeline import Batch
 
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    # Eval defaults to batch 4 — its measured optimum (the one-batch pipeline
+    # amortizes per-batch tunnel RTT + host metric work across 4 images;
+    # B=1 measures 20.4 img/s vs 32.9 at B=4, 2026-08-21). A real eval run
+    # (trainer.evaluate) batches the same way via per_device_eval_batch_size.
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
     h, w, t = 480, 640, 8
     cfg = ModelConfig(num_labels=40, version="0.4.0")
     model = Mask2FormerRGBD(cfg)
@@ -281,6 +290,12 @@ def bench_infer():
     t0 = time.perf_counter()
     outs = [forward(x) for x in xs]
     jax.block_until_ready(outs)
+    # Belt and braces: force a real value fetch from the last output (see the
+    # train-bench note — tunnel-side block_until_ready has been observed to
+    # return early on donated chains; inference has no donation and its wall
+    # times cross-check against profiler device times, but a scalar fetch
+    # costs nothing and makes the timing unforgeable).
+    float(outs[-1][0].ravel()[0])
     dt = time.perf_counter() - t0
 
     images_per_sec = batch * iters / dt
