@@ -33,6 +33,7 @@ class Predictor:
         self.batch_stats = jax.tree.map(jnp.asarray, batch_stats or {})
         self.preprocess = preprocess or PreprocessConfig()
         self._apply = jax.jit(self._forward)
+        self._apply_raw = None  # lazily jitted uint8 path (predict_example)
 
     def _forward(self, pixel_values):
         variables = {"params": self.params}
@@ -41,11 +42,46 @@ class Predictor:
         out = self.model.apply(variables, pixel_values, deterministic=True)
         return out.class_queries_logits, out.masks_queries_logits
 
+    def _forward_raw(self, rgb_u8, depth_u8):
+        """Raw uint8 frames -> channels on device -> forward. Ships 3-6 bytes
+        per pixel to the device instead of the 12-40 of the float channel
+        stack — the H2D transfer, not the chip, bounds single-image latency on
+        thin links (PERF.md: ~37 MB/s on this infra's tunnel)."""
+        from ..data.device_preprocess import build_pixels
+
+        pix = build_pixels(get_version(self.cfg.version).map_fn, rgb_u8, depth_u8, self.preprocess)
+        return self._forward(pix)
+
     def predict_example(self, example: dict, threshold: float = 0.5) -> dict:
         """example: meta-JSON record {"image": ..., "annotation": optional —
         omitted for pure inference (the channel builder then runs against an
         empty mask)}."""
-        map_fn = MAP_FUNCTIONS[get_version(self.cfg.version).map_fn]
+        from ..data import registry as R
+        from ..data import device_preprocess as DP
+        from ..data.preprocess import output_size, resize_image
+
+        spec = get_version(self.cfg.version)
+        if DP.supported(spec.map_fn) and R.TRANSFORM is None:
+            # Device-side channel building: host only decodes + PIL-resizes
+            # the uint8 frames (resampling parity lives on the host); exact
+            # pixel parity with the host builders is pinned in
+            # tests/test_data.py::TestDevicePreprocess.
+            size = output_size(self.preprocess)
+            rgb = resize_image(R._rgb(example["image"]), size)
+            depth = None
+            if spec.channels.total > 3:
+                depth = resize_image(R._depth_rgb(example["image"]), size)
+            if self._apply_raw is None:
+                self._apply_raw = jax.jit(self._forward_raw)
+            cls_logits, mask_logits = self._apply_raw(
+                jnp.asarray(rgb)[None],
+                jnp.asarray(depth)[None] if depth is not None else None,
+            )
+            return post_process_instance_segmentation(
+                cls_logits, mask_logits, threshold=threshold,
+                target_sizes=[size], return_binary_maps=True,
+            )[0]
+        map_fn = MAP_FUNCTIONS[spec.map_fn]
         pix, _, _ = map_fn(example, self.preprocess)
         return self.predict_pixels(pix[None], threshold)[0]
 

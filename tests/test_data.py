@@ -1,6 +1,7 @@
 """Input pipeline tests: synthetic fixture + all versioned channel builders +
 preprocessing parity with the HF image processor."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -162,3 +163,97 @@ def test_transform_hook(fixture_dir):
         cx0 = np.nonzero(m0)[1].mean()
         cx1 = np.nonzero(m1)[1].mean()
         assert abs(cx1 - ((w - 1) - cx0)) < 1.5, (cx0, cx1)
+
+
+class TestDevicePreprocess:
+    """data/device_preprocess.py must reproduce the host channel builders
+    bit-for-bit (same-size inputs; PIL-L grayscale is integer-exact)."""
+
+    def _example(self, rng, hw=(64, 96)):
+        import PIL.Image as PILImage
+
+        h, w = hw
+        rgb = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        depth = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        return rgb, depth
+
+    def test_pil_grayscale_exact(self):
+        from PIL import Image
+        from rgbdseg_tpu.data.device_preprocess import pil_grayscale_u8
+
+        rng = np.random.RandomState(0)
+        rgb = rng.randint(0, 256, (37, 53, 3), dtype=np.uint8)
+        expected = np.asarray(Image.fromarray(rgb).convert("L"))
+        got = np.asarray(pil_grayscale_u8(jnp.asarray(rgb)))
+        np.testing.assert_array_equal(got, expected)
+
+    @pytest.mark.parametrize("version", ["0.0.0", "0.1.1", "0.4.0"])
+    def test_matches_host_builder(self, version, tmp_path):
+        from PIL import Image
+        from rgbdseg_tpu import versions as V
+        from rgbdseg_tpu.config import PreprocessConfig
+        from rgbdseg_tpu.data import registry as R
+        from rgbdseg_tpu.data import device_preprocess as DP
+
+        rng = np.random.RandomState(1)
+        h, w = 64, 96  # already divisible by 32: no host resize
+        rgb, depth = self._example(rng, (h, w))
+        rgb_p, depth_p = str(tmp_path / "rgb.png"), str(tmp_path / "d.png")
+        Image.fromarray(rgb).save(rgb_p)
+        Image.fromarray(depth).save(depth_p)
+        cfg = PreprocessConfig(height=h, width=w)
+        spec = V.get(version)
+        assert DP.supported(spec.map_fn)
+        example = {"image": [rgb_p, depth_p] if spec.channels.total > 3 else rgb_p,
+                   "annotation": None}
+        host_pix, _, _ = R.MAP_FUNCTIONS[spec.map_fn](example, cfg)
+        dev_pix = np.asarray(
+            DP.build_pixels(
+                spec.map_fn,
+                jnp.asarray(rgb)[None],
+                jnp.asarray(depth)[None] if spec.channels.total > 3 else None,
+                cfg,
+            )[0]
+        )
+        assert dev_pix.shape == host_pix.shape
+        np.testing.assert_allclose(dev_pix, host_pix, atol=1e-6, rtol=1e-6)
+
+
+def test_predictor_device_preprocess_matches_host(tmp_path):
+    """Predictor.predict_example's uint8 device-preprocess fast path must give
+    the same instances as the host channel-builder fallback (forced via an
+    identity transform, which disables the fast path)."""
+    from PIL import Image
+    import jax
+    from rgbdseg_tpu.config import ModelConfig
+    from rgbdseg_tpu.data import registry as R
+    from rgbdseg_tpu.inference.predictor import Predictor
+    from rgbdseg_tpu.models.mask2former import Mask2FormerRGBD
+
+    rng = np.random.RandomState(7)
+    h, w = 64, 64
+    rgb_p, d_p = str(tmp_path / "r.png"), str(tmp_path / "d.png")
+    Image.fromarray(rng.randint(0, 256, (h, w, 3), dtype=np.uint8)).save(rgb_p)
+    Image.fromarray(rng.randint(0, 256, (h, w, 3), dtype=np.uint8)).save(d_p)
+
+    cfg = ModelConfig.tiny(num_labels=2, version="0.4.0")
+    model = Mask2FormerRGBD(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, h, w, 10), jnp.float32)
+    )
+    pre = PreprocessConfig(height=h, width=w)
+    p = Predictor(cfg, variables["params"], variables.get("batch_stats"), preprocess=pre)
+    example = {"image": [rgb_p, d_p]}
+    fast = p.predict_example(example, threshold=0.1)
+    assert p._apply_raw is not None  # fast path actually ran
+    try:
+        R.set_transform(lambda image, mask: {"image": image, "mask": mask})
+        host = p.predict_example(example, threshold=0.1)
+    finally:
+        R.set_transform(None)
+    assert len(fast["segments_info"]) == len(host["segments_info"])
+    np.testing.assert_allclose(
+        np.asarray(fast["segmentation"], np.float32),
+        np.asarray(host["segmentation"], np.float32),
+        atol=1e-5,
+    )
