@@ -42,6 +42,13 @@ bytes_acc = float(ca.get("bytes accessed", 0))
 
 rng = np.random.RandomState(0)
 args = [jnp.asarray(rng.rand(B, h, w, 10), jnp.float32) for _ in range(12)]
+# Force EVERY input physically resident before the timed loop (ADVICE r3):
+# jnp.asarray enqueues H2D lazily, and ~11 x 12 MB f32 uploads over the
+# ~37 MB/s tunnel would otherwise serialize INTO the timed region, inflating
+# measured_ms toward (and past) the bandwidth floor this script exists to
+# compare against. Same one-scalar D2H barrier as bench._force_resident.
+for a in args:
+    float(a.ravel()[0])
 jax.block_until_ready(compiled(args[0]))
 t0 = time.perf_counter()
 for a in args[1:]:

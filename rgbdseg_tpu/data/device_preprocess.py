@@ -18,11 +18,27 @@ host where PIL semantics live):
   against the reference's cv2 path (tests/test_ops_depth.py).
 
 Supported layouts (versions registry): 3-channel (0.0.0), 6-channel
-(0.1.x), and the flagship 10-channel case2 (0.4.0). Callers fall back to the
-host builders for the other layouts (gated by `supported(version)`).
+(0.1.x), the gradient-image 7-channel variants (0.0.2/0.0.3 tmp, 0.0.5 g2,
+0.0.6 normals), the 4-channel gray-depth 0.0.7 (s2), the on-disk-gradient
+10-channel case1 (0.3.0), and the flagship 10-channel case2 (0.4.0). Callers
+fall back to the host builders for the other layouts (gated by
+`supported(version)`).
+
+All builders assume the raw frames are ALREADY at the target size (the
+callers gate on that): the host builders grayscale/gradient at the source
+resolution and THEN cv2-resize, so resize-then-derive on device would
+diverge for inputs needing resizing (ADVICE r3). At target size every
+derivation is identical and the parity is exact.
+
+The `packed` layout concatenates the required uint8 frames channel-wise into
+ONE (B, H, W, C) uint8 array (rgb | depth-or-grad [| grad]) so batch input
+staging ships a single buffer; `packed_width` says how many channels a map
+function needs, `build_from_packed` splits and builds.
 
 Reference provenance: the host twins implement dataloader.py:23-49 (3ch),
-:53-84 (6ch), :386-425 (10ch case2) of the reference.
+:53-84 (6ch), :132-168 (7ch tmp), :214-238 (7ch g2), :242-266 (7ch s),
+:270-297 (4ch s2), :301-336 (10ch case1), :386-425 (10ch case2) of the
+reference.
 """
 
 from __future__ import annotations
@@ -30,13 +46,28 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..config import PreprocessConfig
+from ..ops.normals import surface_normals_gradient
 from ..ops.sobel import gradient_features
 
-_SUPPORTED_MAPS = {"map_3channel", "map_6channel", "map_10channel_case2"}
+# uint8 frame channels each supported map function needs (rgb always first).
+_PACKED_WIDTH = {
+    "map_3channel": 3,  # rgb
+    "map_6channel": 6,  # rgb | depth
+    "map_7channel_tmp": 6,  # rgb | gradient image (on disk)
+    "map_7channel_g2": 6,  # rgb | depth (gray + gradient features on device)
+    "map_7channel_s": 6,  # rgb | depth (gray + surface normals on device)
+    "map_7channel_s2": 6,  # rgb | depth (gray on device)
+    "map_10channel_case1": 9,  # rgb | depth | gradient image (on disk)
+    "map_10channel_case2": 6,  # rgb | depth (gray+gradients on device)
+}
 
 
 def supported(map_fn_name: str) -> bool:
-    return map_fn_name in _SUPPORTED_MAPS
+    return map_fn_name in _PACKED_WIDTH
+
+
+def packed_width(map_fn_name: str) -> int:
+    return _PACKED_WIDTH[map_fn_name]
 
 
 def pil_grayscale_u8(rgb_u8: jnp.ndarray) -> jnp.ndarray:
@@ -68,21 +99,61 @@ def build_pixels(
     rgb_u8: jnp.ndarray,
     depth_u8: jnp.ndarray | None,
     cfg: PreprocessConfig,
+    grad_u8: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Raw (B, H, W, 3) uint8 frames (already at the target size) -> the
     version's float32 channel stack, identical to the host map function's
-    pixel output. Jit-friendly: pure jnp, static shapes.
+    pixel output. `depth_u8` is the second on-disk frame (depth image for
+    most layouts, the precomputed gradient image for map_7channel_tmp);
+    `grad_u8` is case1's third on-disk frame. Jit-friendly: pure jnp,
+    static shapes.
     """
     color = normalize_u8(rgb_u8, cfg)
     if map_fn_name == "map_3channel":
         return color
-    assert depth_u8 is not None, "RGB-D layout needs a depth image"
+    assert depth_u8 is not None, "RGB-D layout needs a second frame"
+    if map_fn_name == "map_7channel_tmp":
+        # depth_u8 IS the on-disk gradient image here (registry.py
+        # map_7channel_tmp); raw >50-on-any-channel validity mask.
+        grad = normalize_u8(depth_u8, cfg)
+        gmask = jnp.any(depth_u8 > 50, axis=-1).astype(jnp.float32)
+        return jnp.concatenate([color, grad, gmask[..., None]], axis=-1)
+    if map_fn_name == "map_7channel_g2":
+        gray = pil_grayscale_u8(depth_u8).astype(jnp.float32)
+        norm_mag, _, _, valid = gradient_features(gray)
+        grad = jnp.stack([norm_mag] * 3, axis=-1)
+        return jnp.concatenate([color, grad, valid[..., None].astype(jnp.float32)], axis=-1)
+    if map_fn_name == "map_7channel_s":
+        gray = pil_grayscale_u8(depth_u8).astype(jnp.float32)
+        normals, valid = surface_normals_gradient(gray)
+        return jnp.concatenate([color, normals, valid[..., None].astype(jnp.float32)], axis=-1)
+    if map_fn_name == "map_7channel_s2":
+        gray = pil_grayscale_u8(depth_u8).astype(jnp.float32)
+        return jnp.concatenate([color, gray[..., None]], axis=-1)
     depth = normalize_u8(depth_u8, cfg)
     if map_fn_name == "map_6channel":
         return jnp.concatenate([color, depth], axis=-1)
+    if map_fn_name == "map_10channel_case1":
+        assert grad_u8 is not None, "case1 needs the on-disk gradient frame"
+        grad = normalize_u8(grad_u8, cfg)
+        gmask = jnp.any(grad_u8 > 50, axis=-1).astype(jnp.float32)
+        return jnp.concatenate([color, depth, grad, gmask[..., None]], axis=-1)
     if map_fn_name == "map_10channel_case2":
         gray = pil_grayscale_u8(depth_u8).astype(jnp.float32)
         norm_mag, _, _, valid = gradient_features(gray)
         grad = jnp.stack([norm_mag] * 3, axis=-1)
         return jnp.concatenate([color, depth, grad, valid[..., None]], axis=-1)
     raise ValueError(f"device preprocess does not support {map_fn_name}")
+
+
+def build_from_packed(map_fn_name: str, packed_u8: jnp.ndarray, cfg: PreprocessConfig) -> jnp.ndarray:
+    """(B, H, W, packed_width) uint8 (rgb | frame2 [| frame3]) -> the float32
+    channel stack. The single packed array is what the input-staging path
+    ships over the host→device link (Trainer eval/predict; 6-9 bytes/pixel
+    instead of the 16-40 of the float stack)."""
+    w = _PACKED_WIDTH[map_fn_name]
+    assert packed_u8.shape[-1] == w, (packed_u8.shape, w)
+    rgb = packed_u8[..., :3]
+    frame2 = packed_u8[..., 3:6] if w > 3 else None
+    frame3 = packed_u8[..., 6:9] if w > 6 else None
+    return build_pixels(map_fn_name, rgb, frame2, cfg, frame3)

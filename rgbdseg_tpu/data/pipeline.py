@@ -70,11 +70,26 @@ class SegmentationDataset:
         max_instances: int = 20,
         cache: bool = True,
         cache_bytes_limit: int = 4 << 30,
+        device_channels: bool = False,
     ):
+        """`device_channels=True` makes examples carry PACKED RAW uint8
+        frames (rgb | depth [| gradient], 6-9 bytes/pixel) instead of the
+        built float32 channel stack (16-40 B/px); the Trainer's eval step
+        then builds the channels ON DEVICE inside the compiled program
+        (data/device_preprocess.py). Exact only when the source frames are
+        already at the target size (the host builders derive features at
+        source resolution then cv2-resize, which doesn't commute) — the mode
+        silently disables itself dataset-wide the first time an example is
+        ineligible (wrong size, unsupported layout, or an augmentation
+        transform installed) so mixed datasets stay correct."""
         self.records = records
         self.version = version
         self.preprocess = preprocess
         self.max_instances = max_instances
+        # Eligibility decided UP FRONT (header-only size reads) so the item
+        # layout never flips mid-iteration — a flip would mix uint8 packed
+        # and float32 built items inside one batch.
+        self.device_channels = device_channels and self._probe_device_channels()
         self.map_fn = MAP_FUNCTIONS[get_version(version).map_fn]
         # In-memory cache of processed examples: the channel builders run
         # cv2/PIL work per example; the reference materializes this once via
@@ -117,10 +132,80 @@ class SegmentationDataset:
             return np.asarray(Image.open(img).convert("RGB"))
         return np.asarray(img)
 
+    def _probe_device_channels(self) -> bool:
+        """True iff every example can ship packed raw frames: supported
+        layout, no augmentation transform, and every frame already at the
+        target size (header-only PIL reads — no pixel decode)."""
+        from . import device_preprocess as DP
+        from . import registry as R
+        from .preprocess import output_size
+
+        spec = get_version(self.version)
+        if not DP.supported(spec.map_fn) or R.TRANSFORM is not None:
+            return False
+        size = output_size(self.preprocess)
+        n_frames = DP.packed_width(spec.map_fn) // 3
+        from PIL import Image
+
+        for rec in self.records:
+            imgs = rec["image"] if isinstance(rec["image"], (list, tuple)) else [rec["image"]]
+            if len(imgs) < n_frames:
+                return False
+            for p in imgs[:n_frames]:
+                if isinstance(p, str):
+                    with Image.open(p) as im:
+                        w, h = im.size
+                else:
+                    h, w = np.asarray(p).shape[:2]
+                if (h, w) != size:
+                    return False
+        return True
+
+    def _raw_item(self, idx: int):
+        """Packed raw uint8 frames + host-built labels (eligibility already
+        established by _probe_device_channels)."""
+        from . import device_preprocess as DP
+        from . import registry as R
+
+        spec = get_version(self.version)
+        example = self.records[idx]
+        color, mask = R._color_and_mask(example)
+        frames = [color]
+        width = DP.packed_width(spec.map_fn)
+        if width > 3:
+            frames.append(R._depth_rgb(example["image"]))
+        if width > 6:
+            frames.append(R._depth_rgb(example["image"], 2))
+        instance_map, mapping = R._mask_and_mapping(mask)
+        masks, labels = R._labels(instance_map, mapping, self.preprocess)
+        return np.concatenate(frames, axis=-1), masks, labels
+
     def __getitem__(self, idx: int):
         if self._cache is not None and idx in self._cache:
             return self._cache[idx]
-        pix, masks, labels = self.map_fn(self.records[idx], self.preprocess)
+        raw = None
+        if self.device_channels:
+            from . import registry as R
+
+            if R.TRANSFORM is not None:
+                # a transform was installed after construction: raw frames
+                # would skip it — rebuild on the host from here on (and drop
+                # cached raw items so batches stay layout-consistent)
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "device_channels disabled: an augmentation transform was "
+                    "installed; host channel building takes over"
+                )
+                self.device_channels = False
+                self._cache = {} if self._cache is not None else None
+                self._cache_bytes = 0
+            else:
+                raw = self._raw_item(idx)
+        if raw is not None:
+            pix, masks, labels = raw
+        else:
+            pix, masks, labels = self.map_fn(self.records[idx], self.preprocess)
         t = self.max_instances
         n = min(masks.shape[0], t)
         if masks.shape[0] > t and not self._warned_truncation:
@@ -146,7 +231,7 @@ class SegmentationDataset:
         pm[:n] = masks[:n]
         pc[:n] = labels[:n]
         pv[:n] = True
-        item = (pix.astype(np.float32), pm, pc, pv)
+        item = (pix if raw is not None else pix.astype(np.float32), pm, pc, pv)
         if self._cache is not None and self._cache_bytes < self._cache_bytes_limit:
             self._cache[idx] = item
             self._cache_bytes += sum(a.nbytes for a in item)

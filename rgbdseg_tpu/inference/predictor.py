@@ -42,14 +42,14 @@ class Predictor:
         out = self.model.apply(variables, pixel_values, deterministic=True)
         return out.class_queries_logits, out.masks_queries_logits
 
-    def _forward_raw(self, rgb_u8, depth_u8):
-        """Raw uint8 frames -> channels on device -> forward. Ships 3-6 bytes
-        per pixel to the device instead of the 12-40 of the float channel
-        stack — the H2D transfer, not the chip, bounds single-image latency on
-        thin links (PERF.md: ~37 MB/s on this infra's tunnel)."""
-        from ..data.device_preprocess import build_pixels
+    def _forward_raw(self, packed_u8):
+        """Packed raw uint8 frames -> channels on device -> forward. Ships
+        3-9 bytes per pixel to the device instead of the 12-40 of the float
+        channel stack — the H2D transfer, not the chip, bounds single-image
+        latency on thin links (PERF.md: ~37 MB/s on this infra's tunnel)."""
+        from ..data.device_preprocess import build_from_packed
 
-        pix = build_pixels(get_version(self.cfg.version).map_fn, rgb_u8, depth_u8, self.preprocess)
+        pix = build_from_packed(get_version(self.cfg.version).map_fn, packed_u8, self.preprocess)
         return self._forward(pix)
 
     def predict_example(self, example: dict, threshold: float = 0.5) -> dict:
@@ -58,29 +58,34 @@ class Predictor:
         empty mask)}."""
         from ..data import registry as R
         from ..data import device_preprocess as DP
-        from ..data.preprocess import output_size, resize_image
+        from ..data.preprocess import output_size
 
         spec = get_version(self.cfg.version)
         if DP.supported(spec.map_fn) and R.TRANSFORM is None:
-            # Device-side channel building: host only decodes + PIL-resizes
-            # the uint8 frames (resampling parity lives on the host); exact
-            # pixel parity with the host builders is pinned in
-            # tests/test_data.py::TestDevicePreprocess.
+            # Device-side channel building: exact pixel parity with the host
+            # builders is pinned in tests/test_data.py::TestDevicePreprocess —
+            # but ONLY for frames already at the target size: the host
+            # builders derive (grayscale / Sobel / >50 masks) at SOURCE
+            # resolution and then cv2-bilinear-resize, so resizing first and
+            # deriving on device diverges (cv2 INTER_LINEAR != PIL BILINEAR,
+            # and derive/resize don't commute — ADVICE r3). Gate on size and
+            # fall back to the host builder otherwise.
             size = output_size(self.preprocess)
-            rgb = resize_image(R._rgb(example["image"]), size)
-            depth = None
-            if spec.channels.total > 3:
-                depth = resize_image(R._depth_rgb(example["image"]), size)
-            if self._apply_raw is None:
-                self._apply_raw = jax.jit(self._forward_raw)
-            cls_logits, mask_logits = self._apply_raw(
-                jnp.asarray(rgb)[None],
-                jnp.asarray(depth)[None] if depth is not None else None,
-            )
-            return post_process_instance_segmentation(
-                cls_logits, mask_logits, threshold=threshold,
-                target_sizes=[size], return_binary_maps=True,
-            )[0]
+            frames = [R._rgb(example["image"])]
+            width = DP.packed_width(spec.map_fn)
+            if width > 3:
+                frames.append(R._depth_rgb(example["image"]))
+            if width > 6:
+                frames.append(R._depth_rgb(example["image"], 2))
+            if all(f.shape[:2] == size for f in frames):
+                packed = np.concatenate(frames, axis=-1)
+                if self._apply_raw is None:
+                    self._apply_raw = jax.jit(self._forward_raw)
+                cls_logits, mask_logits = self._apply_raw(jnp.asarray(packed)[None])
+                return post_process_instance_segmentation(
+                    cls_logits, mask_logits, threshold=threshold,
+                    target_sizes=[size], return_binary_maps=True,
+                )[0]
         map_fn = MAP_FUNCTIONS[spec.map_fn]
         pix, _, _ = map_fn(example, self.preprocess)
         return self.predict_pixels(pix[None], threshold)[0]

@@ -36,8 +36,60 @@ from ..ops.resize import (
 )
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch-exact running-stat semantics.
+
+    flax `nn.BatchNorm` stores the BIASED batch variance in its running
+    average; `torch.nn.BatchNorm2d` (what the reference's DSAM / E-DSAM /
+    fuser layers use, custom_model.py:622-897) normalizes with the biased
+    variance but stores the UNBIASED one (*n/(n-1)) in running_var. The
+    difference only surfaces at eval time, but it is systematic, and the
+    end-to-end training differential (tests/test_train_differential.py)
+    compares final batch_stats against the torch trainer — so match it.
+    Variable names/shapes are flax-compatible (batch_stats/{mean,var}), so
+    checkpoints, hf_convert, and the BN-folding fast path are unaffected.
+    Stats/normalization are computed in f32; the output is cast to the same
+    promoted dtype flax would produce (x, scale, bias, running stats)."""
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+        if self.use_running_average:
+            mean = ra_mean.value.astype(jnp.float32)
+            var = ra_var.value.astype(jnp.float32)
+        else:
+            axes = tuple(range(x.ndim - 1))
+            x32 = x.astype(jnp.float32)
+            mean = x32.mean(axes)
+            var = (x32 * x32).mean(axes) - mean * mean
+            if not self.is_initializing():
+                n = x.size / c
+                m = self.momentum
+                ra_mean.value = (m * ra_mean.value.astype(jnp.float32) + (1 - m) * mean).astype(ra_mean.value.dtype)
+                ra_var.value = (
+                    m * ra_var.value.astype(jnp.float32)
+                    + (1 - m) * var * (n / max(n - 1.0, 1.0))
+                ).astype(ra_var.value.dtype)
+        out_dtype = jnp.result_type(
+            x.dtype, scale.dtype, bias.dtype, ra_mean.value.dtype, ra_var.value.dtype
+        )
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(out_dtype)
+
+
 def _bn(name: str, deterministic: bool):
-    return nn.BatchNorm(
+    return TorchBatchNorm(
         use_running_average=deterministic, momentum=0.9, epsilon=1e-5, name=name
     )
 

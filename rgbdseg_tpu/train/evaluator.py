@@ -86,21 +86,23 @@ class Evaluator:
             )
         self.metric.update(preds, targets)
 
-    def _update_device_stats(self, class_logits, mask_logits, batch, target_hw):
+    def device_stats_arrays(self, class_logits, mask_logits, gt_packed, valid, target_hw, gt_hw):
+        """Run the on-device IoU/area stats program over (possibly local-shard)
+        logits + bit-packed GT and pull the O(Q·T) scalars to the host.
+        Factored out of `_update_device_stats` so the multi-host eval path
+        (train/trainer.py:_eval_update_multihost) can run it per host shard
+        and allgather only the returned scalars."""
         import jax.numpy as jnp
 
         from ..inference.postprocess import _eval_stats_device
 
-        gt_bool = np.asarray(batch.mask_labels).astype(bool)
-        b, t, gh, gw = gt_bool.shape
-        gt_packed = np.packbits(gt_bool.reshape(b, t, -1), axis=-1)
         outs = _eval_stats_device(
             jnp.asarray(class_logits),
             jnp.asarray(mask_logits),
             jnp.asarray(gt_packed),
-            jnp.asarray(np.asarray(batch.valid, bool)),
+            jnp.asarray(valid),
             target_hw,
-            (gh, gw),
+            gt_hw,
         )
         for x in outs:  # overlap the device->host copies (one tunnel RTT)
             if hasattr(x, "copy_to_host_async"):
@@ -110,9 +112,14 @@ class Evaluator:
         # decimals (postprocess parity with the reference) — match it here so
         # both paths produce bit-identical metric inputs.
         scores = np.round(scores.astype(np.float64), 6)
-        gt_labels = np.asarray(batch.class_labels)
-        gt_valid = np.asarray(batch.valid, bool)
-        for i in range(b):
+        return scores, labels, darea, garea, inter
+
+    def update_from_stats(self, stats, gt_labels, gt_valid):
+        """Per-image metric updates from device-computed stats arrays."""
+        scores, labels, darea, garea, inter = stats
+        gt_labels = np.asarray(gt_labels)
+        gt_valid = np.asarray(gt_valid, bool)
+        for i in range(len(scores)):
             cand = (scores[i] >= self.threshold) & (darea[i] > 0)
             gv = gt_valid[i]
             self.metric.update_precomputed(
@@ -123,6 +130,20 @@ class Evaluator:
                 gt_labels[i][gv],
                 garea[i][gv],
             )
+
+    def _update_device_stats(self, class_logits, mask_logits, batch, target_hw):
+        gt_bool = np.asarray(batch.mask_labels).astype(bool)
+        b, t, gh, gw = gt_bool.shape
+        gt_packed = np.packbits(gt_bool.reshape(b, t, -1), axis=-1)
+        stats = self.device_stats_arrays(
+            class_logits,
+            mask_logits,
+            gt_packed,
+            np.asarray(batch.valid, bool),
+            target_hw,
+            (gh, gw),
+        )
+        self.update_from_stats(stats, batch.class_labels, batch.valid)
 
     def compute(self, prefix: str = "") -> dict[str, float]:
         out = self.metric.compute()

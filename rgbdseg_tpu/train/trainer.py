@@ -41,6 +41,43 @@ from .checkpoints import find_last_checkpoint, load_checkpoint, save_checkpoint
 from .evaluator import Evaluator
 
 
+def _hf_decay_mask(params):
+    """HF-Trainer weight-decay set, mirrored onto the flax param tree.
+
+    transformers 4.57 `Trainer.get_decay_parameter_names` decays every
+    parameter EXCEPT (a) params of `nn.LayerNorm` instances and (b) names
+    matching r"bias" / r"layernorm" / r"(^|.)norm($|.)" / r"_norm($|.)" —
+    note GroupNorm and BatchNorm *scales* DO decay (only LayerNorm is a
+    forbidden layer type, and torch names them e.g. `input_projections.0.1.
+    weight`, no "norm" in the name). Flax-side mapping:
+    - any path component containing "bias" -> no decay (this also catches
+      Swin's `relative_position_bias_table`, which HF's r"bias" regex
+      excludes in the torch model);
+    - LayerNorm modules -> no decay. Ours are named norm1/norm2/norm/
+      patch_norm/out_norm*/decoder_layernorm/*_layer_norm; the pixel
+      decoder's GroupNorms (input_proj*_norm/adapter*_norm/fpn*_norm) and
+      the fusion BatchNorms (*bn*) share the "norm"/"_bn" suffixes but DO
+      decay, hence the explicit carve-outs.
+    Pinned end-to-end by tests/test_train_differential.py (per-step loss +
+    final-param agreement vs the reference's torch trainer with
+    weight_decay > 0)."""
+
+    def is_decay(path):
+        names = [str(getattr(k, "key", k)) for k in path]
+        if any("bias" in n for n in names):
+            return False
+        parent = names[-2] if len(names) > 1 else ""
+        if (
+            "norm" in parent
+            and "bn" not in parent
+            and not parent.startswith(("input_proj", "adapter", "fpn"))
+        ):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(lambda p, _: is_decay(p), params)
+
+
 class Trainer:
     def __init__(
         self,
@@ -107,7 +144,10 @@ class Trainer:
 
         steps_per_epoch = self._steps_per_epoch()
         total_steps = max(1, int(steps_per_epoch * self.args.num_train_epochs))
-        warmup = int(self.args.warmup_ratio * total_steps)
+        # HF rounding: TrainingArguments.get_warmup_steps uses math.ceil on
+        # ratio*total (int() truncation loses a warmup step whenever the
+        # product is fractional — caught designing the training differential).
+        warmup = math.ceil(self.args.warmup_ratio * total_steps)
         schedule = optax.join_schedules(
             [
                 optax.linear_schedule(0.0, self.args.learning_rate, max(warmup, 1)),
@@ -124,6 +164,7 @@ class Trainer:
                 b2=self.args.adam_beta2,
                 eps=self.args.adam_epsilon,
                 weight_decay=self.args.weight_decay,
+                mask=_hf_decay_mask,
             ),
         )
         # tx.init's zeros_like inherits each master param's sharding, so the
@@ -309,8 +350,22 @@ class Trainer:
     def _eval_step_fn(self):
         model, cfg = self.model, self.cfg
         has_bn = bool(jax.tree_util.tree_leaves(self.batch_stats))
+        from ..versions import get as get_version
+
+        map_fn_name = get_version(cfg.version).map_fn
+        pp = getattr(self.eval_dataset, "preprocess", None) or getattr(
+            self.train_dataset, "preprocess", None
+        )
 
         def step(params, batch_stats, rng, pixel_values, masks, classes, valid):
+            if pixel_values.dtype == jnp.uint8:
+                # packed raw frames (SegmentationDataset device_channels
+                # mode): the dataset shipped 6-9 uint8 bytes/pixel and the
+                # float channel stack is built HERE, on device, inside the
+                # compiled step (data/device_preprocess.py — VERDICT r3 #8).
+                from ..data.device_preprocess import build_from_packed
+
+                pixel_values = build_from_packed(map_fn_name, pixel_values, pp)
             variables = {"params": self._cast_bf16(params)}
             if has_bn:
                 variables["batch_stats"] = batch_stats
@@ -617,6 +672,71 @@ class Trainer:
             )
         return self._put(batch, global_b=global_b)
 
+    def _eval_update_multihost(self, evaluator, cls_logits, mask_logits, batch, real_b) -> bool:
+        """Multi-host device-stats eval (VERDICT r3 #6): each host computes
+        the O(Q·T) IoU/area scalars for ITS OWN rows on its own device shards
+        (the same `_eval_stats_device` program the single-process fast path
+        uses), then only those scalars are allgathered — the (B, Q, h, w)
+        mask logits never cross the host boundary. The previous path
+        allgathered the full logits to every host and took the slow
+        host-mask route, forfeiting the 53.9x device-stats eval win
+        (PERF.md) exactly when the batch spans hosts.
+
+        `batch` is the UNPADDED-GT global batch every host decodes
+        (evaluate() keeps full-batch GT on all hosts); rows >= real_b are the
+        static-shape padding and are dropped after the gather. Returns False
+        when the device-stats preconditions don't hold (mixed per-image
+        target sizes, or RGBDSEG_EVAL_DEVICE_STATS=0) so the caller can fall
+        back to the host-mask path."""
+        if os.environ.get("RGBDSEG_EVAL_DEVICE_STATS", "1") != "1":
+            return False
+        if evaluator.eval_at_original_size and batch.orig_sizes is not None:
+            sizes = {tuple(int(v) for v in s) for s in np.asarray(batch.orig_sizes)}
+            if len(sizes) != 1:
+                return False
+            target_hw = sizes.pop()
+        else:
+            target_hw = tuple(batch.pixel_values.shape[1:3])
+
+        from jax.experimental import multihost_utils
+
+        gt_bool = np.asarray(batch.mask_labels).astype(bool)
+        gb, t, gh, gw = gt_bool.shape
+        gt_packed = np.packbits(gt_bool.reshape(gb, t, -1), axis=-1)
+        valid_all = np.asarray(batch.valid, bool)
+
+        mask_by_dev = {s.device: s for s in mask_logits.addressable_shards}
+        parts = []  # (global row indices, *stat arrays) per local shard
+        for s in sorted(cls_logits.addressable_shards, key=lambda s: s.index[0].start or 0):
+            sl = s.index[0]
+            r0 = sl.start or 0
+            r1 = sl.stop if sl.stop is not None else gb
+            stats = evaluator.device_stats_arrays(
+                s.data,
+                mask_by_dev[s.device].data,
+                gt_packed[r0:r1],
+                valid_all[r0:r1],
+                target_hw,
+                (gh, gw),
+            )
+            parts.append((np.arange(r0, r1), *stats))
+
+        # Equal-sized shards per process (the data axis divides the global
+        # batch evenly), so tiled allgather concatenates cleanly; the row
+        # indices ride along so ordering never depends on process layout.
+        local = [np.concatenate([p[k] for p in parts]) for k in range(6)]
+        gidx, *gstats = (
+            np.asarray(multihost_utils.process_allgather(x, tiled=True)) for x in local
+        )
+        order = np.argsort(gidx, kind="stable")[:real_b]
+        evaluator.update_from_stats(
+            tuple(g[order] for g in gstats),
+            np.asarray(batch.class_labels)[gidx[order]],
+            valid_all[gidx[order]],
+        )
+        logger.info("multihost eval: device-stats path (rows=%d)", real_b)
+        return True
+
     # ------------------------------------------------------------------
     def evaluate(self, dataset=None, prefix: str = "eval_") -> dict:
         dataset = dataset or self.eval_dataset
@@ -632,7 +752,7 @@ class Trainer:
         from ..data.pipeline import Batch
 
         def flush(pending):
-            cls_logits, mask_logits, loss, sub, real_b = pending
+            cls_logits, mask_logits, loss, sub, full, real_b = pending
             losses.append(float(loss))
             if jax.process_count() == 1:
                 # keep the logits ON DEVICE: post-processing jits over them
@@ -640,7 +760,7 @@ class Trainer:
                 # the (B, Q, h, w) logits down just to re-upload them costs a
                 # 2x tunnel round trip per batch
                 evaluator.update(cls_logits[:real_b], mask_logits[:real_b], sub)
-            else:
+            elif not self._eval_update_multihost(evaluator, cls_logits, mask_logits, full, real_b):
                 evaluator.update(self._host_np(cls_logits)[:real_b], self._host_np(mask_logits)[:real_b], sub)
             return real_b
 
@@ -666,7 +786,7 @@ class Trainer:
             )
             if pending is not None:
                 n += flush(pending)
-            pending = (cls_logits, mask_logits, loss, sub, real_b)
+            pending = (cls_logits, mask_logits, loss, sub, batch, real_b)
         if pending is not None:
             n += flush(pending)
         runtime = time.time() - t0

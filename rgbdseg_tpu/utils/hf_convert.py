@@ -376,6 +376,27 @@ def convert_pixel_level_module(state_dict: dict, cfg) -> tuple[dict, dict]:
     return p, bs
 
 
+def convert_custom_mask2former(state_dict: dict, cfg) -> tuple[dict, dict]:
+    """Reference CustomMask2FormerForUniversalSegmentation state_dict (any
+    fusion version; custom_model.py:45-54 wraps the custom pixel-level module
+    with the stock transformer module + class head) -> (params, batch_stats)
+    for models.mask2former.Mask2FormerRGBD at the same cfg.version."""
+    prefix = "model.pixel_level_module."
+    plm_sd = {k[len(prefix) :]: v for k, v in state_dict.items() if k.startswith(prefix)}
+    plm, plm_bs = convert_pixel_level_module(plm_sd, cfg)
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params = {
+        "pixel_level_module": plm,
+        "transformer_module": {
+            **convert_transformer_module(
+                sd, "model.transformer_module", cfg.decoder_layers, cfg.hidden_dim
+            ),
+            "class_predictor": _dense(sd, "class_predictor"),
+        },
+    }
+    return params, ({"pixel_level_module": plm_bs} if plm_bs else {})
+
+
 def convert_mask2former(state_dict: dict, cfg) -> dict:
     """Full HF Mask2FormerForUniversalSegmentation state_dict -> flax params."""
     sd = {k: np.asarray(v) for k, v in state_dict.items()}

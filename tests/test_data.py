@@ -187,7 +187,12 @@ class TestDevicePreprocess:
         got = np.asarray(pil_grayscale_u8(jnp.asarray(rgb)))
         np.testing.assert_array_equal(got, expected)
 
-    @pytest.mark.parametrize("version", ["0.0.0", "0.1.1", "0.4.0"])
+    # every device-supported layout: 0.0.0 (3ch), 0.0.2 (7ch tmp), 0.0.5
+    # (7ch gradient features), 0.0.6 (7ch normals), 0.0.7 (4ch gray), 0.1.1
+    # (6ch), 0.3.0 (10ch case1, on-disk gradient frame), 0.4.0 (10ch case2)
+    @pytest.mark.parametrize(
+        "version", ["0.0.0", "0.0.2", "0.0.5", "0.0.6", "0.0.7", "0.1.1", "0.3.0", "0.4.0"]
+    )
     def test_matches_host_builder(self, version, tmp_path):
         from PIL import Image
         from rgbdseg_tpu import versions as V
@@ -197,23 +202,21 @@ class TestDevicePreprocess:
 
         rng = np.random.RandomState(1)
         h, w = 64, 96  # already divisible by 32: no host resize
-        rgb, depth = self._example(rng, (h, w))
-        rgb_p, depth_p = str(tmp_path / "rgb.png"), str(tmp_path / "d.png")
-        Image.fromarray(rgb).save(rgb_p)
-        Image.fromarray(depth).save(depth_p)
         cfg = PreprocessConfig(height=h, width=w)
         spec = V.get(version)
         assert DP.supported(spec.map_fn)
-        example = {"image": [rgb_p, depth_p] if spec.channels.total > 3 else rgb_p,
-                   "annotation": None}
+        width = DP.packed_width(spec.map_fn)
+        frames, paths = [], []
+        for i in range(width // 3):
+            f = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            p = str(tmp_path / f"f{i}.png")
+            Image.fromarray(f).save(p)
+            frames.append(f)
+            paths.append(p)
+        example = {"image": paths if len(paths) > 1 else paths[0], "annotation": None}
         host_pix, _, _ = R.MAP_FUNCTIONS[spec.map_fn](example, cfg)
         dev_pix = np.asarray(
-            DP.build_pixels(
-                spec.map_fn,
-                jnp.asarray(rgb)[None],
-                jnp.asarray(depth)[None] if spec.channels.total > 3 else None,
-                cfg,
-            )[0]
+            DP.build_from_packed(spec.map_fn, jnp.asarray(np.concatenate(frames, -1))[None], cfg)[0]
         )
         assert dev_pix.shape == host_pix.shape
         np.testing.assert_allclose(dev_pix, host_pix, atol=1e-6, rtol=1e-6)
@@ -257,3 +260,34 @@ def test_predictor_device_preprocess_matches_host(tmp_path):
         np.asarray(host["segmentation"], np.float32),
         atol=1e-5,
     )
+
+
+def test_predictor_fast_path_gated_on_source_size(tmp_path):
+    """ADVICE r3: an input that needs resizing must NOT take the device fast
+    path — the host builders grayscale/Sobel at source resolution then
+    cv2-resize, which does not commute with resize-then-derive (and cv2
+    INTER_LINEAR != PIL BILINEAR). The predictor must fall back to the host
+    builder whenever decoded frames aren't already at the target size."""
+    from PIL import Image
+    import jax
+    from rgbdseg_tpu.config import ModelConfig
+    from rgbdseg_tpu.inference.predictor import Predictor
+    from rgbdseg_tpu.models.mask2former import Mask2FormerRGBD
+
+    rng = np.random.RandomState(9)
+    h, w = 64, 64
+    # source frames at 2x the target size -> resize required
+    rgb_p, d_p = str(tmp_path / "r.png"), str(tmp_path / "d.png")
+    Image.fromarray(rng.randint(0, 256, (2 * h, 2 * w, 3), dtype=np.uint8)).save(rgb_p)
+    Image.fromarray(rng.randint(0, 256, (2 * h, 2 * w, 3), dtype=np.uint8)).save(d_p)
+
+    cfg = ModelConfig.tiny(num_labels=2, version="0.4.0")
+    model = Mask2FormerRGBD(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, h, w, 10), jnp.float32)
+    )
+    pre = PreprocessConfig(height=h, width=w)
+    p = Predictor(cfg, variables["params"], variables.get("batch_stats"), preprocess=pre)
+    res = p.predict_example({"image": [rgb_p, d_p]}, threshold=0.1)
+    assert p._apply_raw is None  # device fast path was (correctly) skipped
+    assert res["segmentation"].shape[-2:] == (h, w)

@@ -176,6 +176,10 @@ def test_two_process_run_matches_single_process(tmp_path):
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+    # VERDICT r3 #6: the two-process eval must take the device-stats path
+    # (per-host on-device stats + scalar allgather), not the full-logit
+    # host-mask fallback it previously fell into.
+    assert any("device-stats path" in o for o in outs), outs[0][-2000:]
 
     ref_losses, ref_metrics = _losses_and_eval(ref_out)
     mh_losses, mh_metrics = _losses_and_eval(mh_out)

@@ -1,0 +1,510 @@
+"""End-to-end TRAINING-LOOP differential vs the reference's actual torch
+trainer (VERDICT r3 #2 — the last accuracy proof available offline).
+
+Both sides run the REAL training stack, not isolated pieces:
+- torch side: the reference's `CustomMask2FormerForUniversalSegmentation`
+  (custom_model.py:45-54, version 0.4.0 = flagship E-DSAM + DSAM + DGGM)
+  trained by the actual HF `transformers.Trainer` — the exact object
+  finetuning.py:98-117 uses (AdamW + linear-warmup schedule + global-norm
+  clipping + decay-parameter exclusion + BN running-stat updates).
+- jax side: `rgbdseg_tpu.train.Trainer` from identical initial weights
+  (converted via utils/hf_convert.convert_custom_mask2former) on the same
+  batches in the same order (captured from the HF dataloader's collate).
+
+The criterion is stochastic (point sampling) on both sides, so both are fed
+the same deterministic coordinates, keyed by the sampled point count:
+torch.rand and rgbdseg_tpu.ops.losses._uniform both return a fixed base array
+broadcast over leading dims. Per-box (torch) vs per-slot (jax) layouts then
+agree without needing the Hungarian indices, because every box/slot gets the
+SAME coordinate set; the per-call scripted-queue differential in
+test_criterion_hf.py already pins the layouts against each other with
+distinct coordinates.
+
+What this pins that nothing else does: the optimizer-step semantics end to
+end — AdamW bias correction, HF's warmup-step rounding (math.ceil — caught
+an int() truncation in our schedule), the weight-decay mask (biases +
+LayerNorm excluded, BN/GroupNorm scales INCLUDED, Swin's
+relative_position_bias_table excluded by HF's r"bias" regex), global-norm
+clipping, torch's UNBIASED BatchNorm running-var update (caught flax's
+biased update; see models.fusion.TorchBatchNorm), and the loss layer
+weighting across 6 coupled steps where any drift compounds.
+
+Marked slow: ~6 torch CPU train steps + one jax CPU compile of the 0.4.0
+train step at embed_dim 96.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp
+
+if "/root/reference" not in sys.path:
+    sys.path.insert(0, "/root/reference")
+
+refcm = pytest.importorskip("mask2former.utils.custom_model")
+
+from rgbdseg_tpu.config import ModelConfig, SwinConfig
+from rgbdseg_tpu.data.pipeline import Batch
+from rgbdseg_tpu.ops import losses
+from rgbdseg_tpu.train.arguments import TrainingArguments
+from rgbdseg_tpu.train.trainer import Trainer
+from rgbdseg_tpu.utils import hf_convert
+
+B, T, L, Q = 2, 4, 5, 10  # batch, padded target slots, classes, queries
+H = W = 64
+P = 16  # train_num_points
+S = int(P * 3.0)  # oversampled (48)
+R = P - int(0.75 * P)  # random remainder (4)
+N_STEPS = 6
+LR, WD = 1e-3, 0.05  # WD > 0 so the decay mask is actually exercised
+WARMUP_RATIO = 0.34  # ceil(6*0.34)=3 warmup steps; int() truncation would give 2
+VERSION = "0.4.0"
+
+
+def _my_cfg() -> ModelConfig:
+    # embed_dim must be 96: the reference's fusion modules hardcode the
+    # Swin-T channel ladder (custom_model.py:127-137 DSAModule(96,192)...).
+    return ModelConfig(
+        backbone=SwinConfig(
+            embed_dim=96, depths=(1, 1, 1, 1), num_heads=(2, 2, 4, 4), drop_path_rate=0.0
+        ),
+        num_labels=L,
+        feature_size=64,
+        mask_feature_size=64,
+        encoder_layers=1,
+        encoder_feedforward_dim=64,
+        hidden_dim=64,
+        num_queries=Q,
+        decoder_layers=4,
+        num_attention_heads=4,
+        dim_feedforward=64,
+        train_num_points=P,
+        version=VERSION,
+    )
+
+
+def _hf_cfg():
+    from transformers import Mask2FormerConfig, SwinConfig as HFSwin
+
+    backbone = HFSwin(
+        image_size=64,
+        patch_size=4,
+        embed_dim=96,
+        depths=[1, 1, 1, 1],
+        num_heads=[2, 2, 4, 4],
+        window_size=7,
+        drop_path_rate=0.0,
+        out_features=["stage1", "stage2", "stage3", "stage4"],
+    )
+    return Mask2FormerConfig(
+        backbone_config=backbone,
+        feature_size=64,
+        mask_feature_size=64,
+        hidden_dim=64,
+        encoder_layers=1,
+        encoder_feedforward_dim=64,
+        decoder_layers=4,
+        num_attention_heads=4,
+        dim_feedforward=64,
+        num_queries=Q,
+        num_labels=L,
+        dropout=0.0,
+        train_num_points=P,
+        oversample_ratio=3.0,
+        importance_sample_ratio=0.75,
+        class_weight=2.0,
+        mask_weight=5.0,
+        dice_weight=5.0,
+        no_object_weight=0.1,
+    )
+
+
+# --------------------------------------------------------------------------
+# Shared deterministic point coordinates, keyed by point count (P/S/R are
+# pairwise distinct so the key is unambiguous).
+# --------------------------------------------------------------------------
+_rs = np.random.RandomState(123)
+_BASE = {
+    P: _rs.rand(P, 2).astype(np.float32),
+    S: _rs.rand(S, 2).astype(np.float32),
+    R: _rs.rand(R, 2).astype(np.float32),
+}
+
+
+def _coords(shape):
+    if len(shape) < 2 or shape[-1] != 2:
+        return None
+    base = _BASE.get(shape[-2])
+    if base is None:
+        return None
+    return np.broadcast_to(base, tuple(shape)).copy()
+
+
+class _PatchedTorchRand:
+    def __init__(self):
+        self.orig = torch.rand
+        self.unmatched = []
+
+    def __call__(self, *raw, **kw):
+        shape = tuple(raw[0]) if len(raw) == 1 and isinstance(raw[0], (tuple, list)) else raw
+        c = _coords(shape)
+        if c is None:
+            # e.g. the decoder's layerdrop draw, torch.rand([]) at
+            # modeling_mask2former.py:1873 — layerdrop is 0.0 here so the
+            # value is never acted on; pass the ORIGINAL args through.
+            self.unmatched.append(shape)
+            return self.orig(*raw, **kw)
+        t = torch.from_numpy(c)
+        if kw.get("device") is not None:
+            t = t.to(kw["device"])
+        if kw.get("dtype") is not None:
+            t = t.to(kw["dtype"])
+        return t
+
+
+def _make_items():
+    rs = np.random.RandomState(0)
+    items = []
+    for i in range(N_STEPS * B):
+        px = rs.rand(10, H, W).astype(np.float32)  # CHW: RGB+depthRGB+grad+mask
+        n = int(rs.randint(2, T))
+        masks = np.zeros((n, H, W), np.float32)
+        classes = rs.randint(0, L, (n,)).astype(np.int64)
+        for j in range(n):
+            y0, x0 = rs.randint(0, H - 24), rs.randint(0, W - 24)
+            hh, ww = 12 + rs.randint(12), 12 + rs.randint(12)
+            masks[j, y0 : y0 + hh, x0 : x0 + ww] = 1.0
+        items.append(
+            {"idx": i, "pixel_values": px, "mask_labels": masks, "class_labels": classes}
+        )
+    return items
+
+
+class _TorchDS(torch.utils.data.Dataset):
+    def __init__(self, items):
+        self.items = items
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        it = self.items[i]
+        return {
+            "_idx": it["idx"],
+            "pixel_values": torch.from_numpy(it["pixel_values"]),
+            "mask_labels": torch.from_numpy(it["mask_labels"]),
+            "class_labels": torch.from_numpy(it["class_labels"]),
+        }
+
+
+def _run_torch(items, tmp_path):
+    """Reference model + the actual HF Trainer; returns (initial state_dict,
+    final state_dict, per-step losses, captured batch order)."""
+    torch.manual_seed(0)
+    model = refcm.CustomMask2FormerForUniversalSegmentation(_hf_cfg(), version=VERSION)
+    # The custom model replaces `self.model` AFTER super().__init__'s
+    # post_init() ran (custom_model.py:49-53), so HF's _init_weights never
+    # touches the replacement — in particular the pixel decoder's raw
+    # `nn.Parameter(torch.Tensor(...))` level_embed stays UNINITIALIZED
+    # MEMORY (observed 5e31; it saturates the deformable-attention path to
+    # zero gradient). The reference never sees this because from_pretrained
+    # overwrites every weight; replicate the documented init here
+    # (modeling_mask2former.py:2143: nn.init.normal_(level_embed, std=0)).
+    with torch.no_grad():
+        model.model.pixel_level_module.decoder.level_embed.zero_()
+    init_sd = {k: v.detach().clone() for k, v in model.state_dict().items()}
+
+    order = []
+
+    def collate(examples):
+        order.append([int(e.pop("_idx")) for e in examples])
+        return {
+            "pixel_values": torch.stack([e["pixel_values"] for e in examples]),
+            "class_labels": [e["class_labels"] for e in examples],
+            "mask_labels": [e["mask_labels"] for e in examples],
+        }
+
+    step_losses = []
+
+    class Rec(transformers.Trainer):
+        def compute_loss(self, model, inputs, return_outputs=False, **kw):
+            out = super().compute_loss(model, inputs, return_outputs=return_outputs, **kw)
+            loss = out[0] if return_outputs else out
+            step_losses.append(float(loss.detach()))
+            return out
+
+    targs = transformers.TrainingArguments(
+        output_dir=str(tmp_path / "hf"),
+        num_train_epochs=1,
+        per_device_train_batch_size=B,
+        learning_rate=LR,
+        weight_decay=WD,
+        warmup_ratio=WARMUP_RATIO,
+        max_grad_norm=1.0,
+        seed=0,
+        report_to=[],
+        logging_strategy="no",
+        save_strategy="no",
+        optim="adamw_torch",
+        use_cpu=True,
+        dataloader_num_workers=0,
+        remove_unused_columns=False,
+    )
+    trainer = Rec(
+        model=model, args=targs, train_dataset=_TorchDS(items), data_collator=collate
+    )
+    patched = _PatchedTorchRand()
+    torch.rand = patched
+    try:
+        trainer.train()
+    finally:
+        torch.rand = patched.orig
+    # Any unmatched NON-scalar torch.rand call inside the model would break
+    # determinism; the only expected unmatched draws are the decoder's
+    # scalar layerdrop probes (never acted on at layerdrop=0.0).
+    assert all(s == () for s in patched.unmatched), patched.unmatched
+    final_sd = {k: v.detach().clone() for k, v in model.state_dict().items()}
+    return init_sd, final_sd, step_losses, order
+
+
+def _run_ours(items, order, init_sd, tmp_path, monkeypatch):
+    """Our Trainer from the converted init weights on the captured batches."""
+    cfg = _my_cfg()
+    sd_np = {k: v.numpy() for k, v in init_sd.items()}
+    params, _ = hf_convert.convert_custom_mask2former(sd_np, cfg)
+
+    step_batches = []
+    for idxs in order:
+        px = np.stack([items[i]["pixel_values"].transpose(1, 2, 0) for i in idxs])
+        masks = np.zeros((B, T, H, W), np.float32)
+        classes = np.zeros((B, T), np.int32)
+        valid = np.zeros((B, T), bool)
+        for r, i in enumerate(idxs):
+            n = items[i]["mask_labels"].shape[0]
+            masks[r, :n] = items[i]["mask_labels"]
+            classes[r, :n] = items[i]["class_labels"]
+            valid[r, :n] = True
+        step_batches.append(
+            Batch(
+                pixel_values=px,
+                mask_labels=masks,
+                class_labels=classes,
+                valid=valid,
+                orig_sizes=None,
+            )
+        )
+
+    class _ListDS:
+        """One captured global batch per 'epoch': num_train_epochs=N_STEPS
+        then yields exactly the HF dataloader's sequence, and the schedule's
+        total_steps (steps_per_epoch * epochs = 1 * N_STEPS) matches the HF
+        scheduler's num_training_steps."""
+
+        def __len__(self):
+            return B
+
+        def batches(self, global_b, shuffle=False, seed=None, epoch=0, num_workers=0, local_rows=None):
+            yield step_batches[epoch]
+
+    def fake_uniform(rng, shape):
+        c = _coords(shape)
+        assert c is not None, shape
+        return jnp.asarray(c)
+
+    monkeypatch.setattr(losses, "_uniform", fake_uniform)
+
+    args = TrainingArguments(
+        output_dir=str(tmp_path / "ours"),
+        num_train_epochs=float(N_STEPS),
+        per_device_train_batch_size=B,
+        learning_rate=LR,
+        weight_decay=WD,
+        warmup_ratio=WARMUP_RATIO,
+        max_grad_norm=1.0,
+        seed=0,
+        do_eval=False,
+        save_strategy="no",
+        num_devices=1,
+        dataloader_num_workers=0,
+        bf16=False,
+    )
+    tr = Trainer(cfg, args, _ListDS(), None, {i: str(i) for i in range(L)}, pretrained_params=params)
+    tr.train()
+    j_losses = [e["loss"] for e in tr.log_history if "loss" in e]
+    return tr, j_losses
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def test_training_loop_matches_reference(tmp_path, monkeypatch):
+    items = _make_items()
+    init_sd, final_sd, t_losses, order = _run_torch(items, tmp_path)
+    assert len(t_losses) == N_STEPS and len(order) == N_STEPS
+
+    tr, j_losses = _run_ours(items, order, init_sd, tmp_path, monkeypatch)
+    assert len(j_losses) == N_STEPS
+
+    # Per-step losses: fwd parity at this scale is O(1e-4) relative at step 0
+    # and drifts as Adam's sign-like steps amplify f32 gradient noise on
+    # near-zero-gradient coordinates; measured trajectory stays within 2.5e-3
+    # relative over 6 steps (both orderings of this box's runs).
+    for step, (ours, ref) in enumerate(zip(j_losses, t_losses)):
+        assert abs(ours - ref) < 5e-3 * max(1.0, abs(ref)), (step, ours, ref, t_losses, j_losses)
+
+    # Final parameters: convert the torch side's trained weights and compare
+    # leaf by leaf against our trained masters. The bound is the Adam
+    # step-size ceiling, not float noise: Adam's update is ~sign(g)*lr_t per
+    # coordinate once moments warm up, so a coordinate whose tiny gradient
+    # flips sign between the two implementations (f32 reduction-order noise
+    # around zero) walks apart by up to 2*sum_t(lr_t) — a property of ANY
+    # two Adam runs differing by one ulp, not a semantics gap. Semantics bugs
+    # this still catches: a wrong decay mask / schedule / clipping moves
+    # every coordinate of the affected tensors beyond the ceiling within a
+    # few steps (removing the decay-mask fix trips it). Measured profile:
+    # max 3.8e-3, median 1.5e-4 against sum_lr = 3e-3.
+    sum_lr = LR * sum(min(s / 3, 1.0) if s < 3 else (6 - s) / 3 for s in range(N_STEPS))
+    cfg = _my_cfg()
+    ref_params, ref_bs = hf_convert.convert_custom_mask2former(
+        {k: v.numpy() for k, v in final_sd.items()}, cfg
+    )
+    import jax
+
+    ours_flat = _flatten(jax.device_get(jax.tree.map(np.asarray, dict(tr.params))))
+    ref_flat = _flatten(ref_params)
+    assert set(ours_flat) == set(ref_flat)
+    diffs = np.array(
+        [float(np.max(np.abs(ours_flat[k] - ref_flat[k]))) for k in sorted(ref_flat)]
+    )
+    assert diffs.max() < 2.0 * sum_lr, (diffs.max(), sum_lr)
+    assert np.median(diffs) < 5e-4, float(np.median(diffs))
+
+    # BatchNorm running stats followed torch's (unbiased-var) update chain.
+    if ref_bs:
+        ours_bs = _flatten(jax.device_get(jax.tree.map(np.asarray, dict(tr.batch_stats))))
+        ref_bs_flat = _flatten(ref_bs)
+        assert set(ours_bs) == set(ref_bs_flat)
+        worst_bs = max(
+            (float(np.max(np.abs(ours_bs[k] - ref_bs_flat[k]))), k) for k in ref_bs_flat
+        )
+        assert worst_bs[0] < 5e-3, worst_bs
+
+
+def test_step0_gradients_match_reference(tmp_path, monkeypatch):
+    """Amplification-free backward differential: one forward+backward from
+    identical init on an identical batch, comparing the FULL gradient trees
+    (every conversion is an index permutation / reshape / concat, so torch
+    grads convert through the same weight mapping). This pins the backward
+    pass itself; the loop test above then attributes any trajectory gap to
+    optimizer semantics rather than gradients."""
+    items = _make_items()
+    torch.manual_seed(0)
+    model = refcm.CustomMask2FormerForUniversalSegmentation(_hf_cfg(), version=VERSION)
+    with torch.no_grad():
+        model.model.pixel_level_module.decoder.level_embed.zero_()
+    model.train()
+    idxs = [0, 1]
+    px = torch.stack([torch.from_numpy(items[i]["pixel_values"]) for i in idxs])
+    ml = [torch.from_numpy(items[i]["mask_labels"]) for i in idxs]
+    cl = [torch.from_numpy(items[i]["class_labels"]) for i in idxs]
+    patched = _PatchedTorchRand()
+    torch.rand = patched
+    try:
+        out = model(pixel_values=px, mask_labels=ml, class_labels=cl)
+        out.loss.backward()
+    finally:
+        torch.rand = patched.orig
+    t_loss = float(out.loss.detach())
+    pgrads = {
+        k: p.grad.detach().numpy() if p.grad is not None else np.zeros(tuple(p.shape), np.float32)
+        for k, p in model.named_parameters()
+    }
+    # buffers (BN running stats) fill the non-param slots so the converter
+    # sees a complete state-dict-shaped tree; only params are compared.
+    gsd = {k: pgrads.get(k, v.detach().numpy()) for k, v in model.state_dict().items()}
+
+    import jax
+    import jax.numpy as jnp
+
+    from rgbdseg_tpu.models.mask2former import Mask2FormerRGBD
+    from rgbdseg_tpu.ops.losses import mask2former_loss
+
+    cfg = _my_cfg()
+    g_ref, _ = hf_convert.convert_custom_mask2former(gsd, cfg)
+    init_params, _ = hf_convert.convert_custom_mask2former(
+        {k: v.detach().numpy() for k, v in model.state_dict().items()}, cfg
+    )
+    monkeypatch.setattr(losses, "_uniform", lambda rng, shape: jnp.asarray(_coords(shape)))
+    m = Mask2FormerRGBD(cfg)
+    variables = jax.jit(m.init)({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, H, W, 10), jnp.float32))
+    bs0 = variables.get("batch_stats", {})
+    pxj = jnp.asarray(np.stack([items[i]["pixel_values"].transpose(1, 2, 0) for i in idxs]))
+    masks = np.zeros((B, T, H, W), np.float32)
+    classes = np.zeros((B, T), np.int32)
+    valid = np.zeros((B, T), bool)
+    for r, i in enumerate(idxs):
+        n = items[i]["mask_labels"].shape[0]
+        masks[r, :n] = items[i]["mask_labels"]
+        classes[r, :n] = items[i]["class_labels"]
+        valid[r, :n] = True
+
+    def loss_fn(p):
+        o, _ = m.apply(
+            {"params": p, "batch_stats": bs0},
+            pxj,
+            deterministic=False,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1), "droppath": jax.random.PRNGKey(2)},
+        )
+        total, _ = mask2former_loss(
+            cfg, o, jnp.asarray(masks), jnp.asarray(classes), jnp.asarray(valid), jax.random.PRNGKey(3)
+        )
+        return total
+
+    j_loss, grads = jax.jit(jax.value_and_grad(loss_fn))(init_params)
+    # measured 1.4e-3 rel: train-mode BN + the masked-attention threshold
+    # flips at random init (see the gradient-bound comment below)
+    assert abs(float(j_loss) - t_loss) < 4e-3 * max(1.0, abs(t_loss)), (float(j_loss), t_loss)
+
+    gj = _flatten(jax.device_get(grads))
+    gr = _flatten(g_ref)
+    assert set(gj) == set(gr)
+    # global gradient norm (what clipping sees): measured rel diff 3.0e-4
+    nt = np.sqrt(sum(float((v.astype(np.float64) ** 2).sum()) for v in gr.values()))
+    nj = np.sqrt(sum(float((v.astype(np.float64) ** 2).sum()) for v in gj.values()))
+    assert abs(nt - nj) < 2e-3 * nt, (nt, nj)
+    # Per-leaf: max abs diff relative to the leaf's own gradient scale. The
+    # bound is NOT float noise: the masked-attention decoder binarizes the
+    # previous layer's mask probabilities at 0.5, and at random init every
+    # sigmoid input is ~0 so probs hover AT the threshold — boolean
+    # attention-mask pixels legitimately flip between implementations under
+    # one-ulp forward differences, discretely changing later layers' q/k
+    # gradients (measured worst: 9.2e-2 on a decoder q_proj; diagnosed by
+    # verifying all four layers' Hungarian assignments agree exactly while
+    # q/k grads still differed — trained networks polarize away from the
+    # threshold, random init is the worst case). Semantics bugs (wrong loss
+    # weighting, wrong layer wiring) blow far past 0.25; the tree-wide
+    # median pins the noise floor.
+    rels = sorted(
+        float(np.max(np.abs(gj[k] - gr[k]))) / (1e-4 + float(np.max(np.abs(gr[k]))))
+        for k in gr
+    )
+    assert rels[-1] < 0.25, rels[-5:]
+    assert rels[len(rels) // 2] < 1e-2, rels[len(rels) // 2]
