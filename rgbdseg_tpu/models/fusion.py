@@ -95,6 +95,14 @@ def _bn(name: str, deterministic: bool):
 
 
 def _fold_bn() -> bool:
+    """TRACE-TIME flag (ADVICE r3): RGBDSEG_FOLD_BN — like RGBDSEG_EDSAM_CONV
+    and RGBDSEG_EDSAM_FLAT below — is read while the module traces, so its
+    value is BAKED into any cached jit executable (e.g. Predictor._apply,
+    the Trainer step fns, the bench forwards). Changing the env var after a
+    function compiled silently has no effect; set these before the first
+    call (they exist for back-to-back A/B benchmarking, where each setting
+    runs in a fresh process). The three variants are pinned against the
+    default path by tests/test_model.py::test_bn_fold_and_conv_twin_match_default."""
     return os.environ.get("RGBDSEG_FOLD_BN", "1") != "0"
 
 

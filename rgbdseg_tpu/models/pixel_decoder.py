@@ -26,6 +26,7 @@ from ..config import ModelConfig
 from ..ops.kernels import use_pallas
 from ..ops.kernels.deformable import (
     tent_sample_level,
+    tent_sample_level_band,
     tent_sample_level_xla,
     tent_sample_level_xla_separable,
 )
@@ -124,10 +125,26 @@ class DeformableAttention(nn.Module):
                 vbh = v.transpose(0, 2, 1, 3).reshape(b * nh, h * w, hd)
                 gx = coords[..., 0] * w - 0.5  # (bh, L, P) pixel coords
                 gy = coords[..., 1] * h - 0.5
-                if use_pallas("deform"):
+                if use_pallas("deform_band"):
+                    sampled = tent_sample_level_band(gx, gy, aw, vbh, h, w, False)
+                elif use_pallas("deform"):
                     sampled = tent_sample_level(gx, gy, aw, vbh, h, w, False)
                 elif os.environ.get("RGBDSEG_TENT_SEPARABLE") == "0":
                     sampled = tent_sample_level_xla(gx, gy, aw, vbh, h, w)
+                elif os.environ.get("RGBDSEG_TENT_REMAT", "1") == "1":
+                    # Checkpoint JUST the tent sampling: without it the
+                    # backward saves the separable formulation's
+                    # (BH, L, P, h, hd) stage-1 intermediate (774 MB bf16 at
+                    # 640x480 level 0) and re-reads it in 2-3 separate grad
+                    # fusions — profiled ~2.5 ms/layer of pure HBM traffic.
+                    # Recomputing the tents in the backward lets XLA fuse the
+                    # stage-1 operand generation into each grad matmul
+                    # instead (same trick as the forward). Measured
+                    # 2026-08-21: train 10.06 -> 11.12 img/s (device 90.9 ->
+                    # 81.3 ms/step) on top of the no-remat encoder default.
+                    sampled = jax.checkpoint(
+                        lambda a, b_, c, d: tent_sample_level_xla_separable(a, b_, c, d, h, w)
+                    )(gx, gy, aw, vbh)
                 else:
                     sampled = tent_sample_level_xla_separable(gx, gy, aw, vbh, h, w)
                 out = out + sampled.reshape(b, nh, l, hd).astype(out.dtype)
@@ -201,17 +218,18 @@ class PixelDecoder(nn.Module):
         pos = jnp.concatenate(poses, axis=1)
         ref = reference_points_for_shapes(shapes, zero=x.ravel()[0] * 0)[None, :, None, :].repeat(nl, 2)
 
-        # Remat each encoder layer: the backward otherwise keeps every layer's
-        # deformable-attention intermediates (incl. the (B*heads, L, hw) tent
-        # sampling matrices) live at once — multi-GB at 640x480. Recomputing
-        # the layer in the backward trades ~1/3 extra FLOPs for flat memory.
-        # (Step-time note: full-model fwd+bwd with a trivial loss measures
-        # ~0.9 s at 640x480; the train-step wall time is dominated by the
-        # criterion, not by this backward — see PERF.md.)
-        # RGBDSEG_REMAT A/B knob: "1" full remat (default), "dots" keep matmul
-        # outputs / recompute elementwise (checkpoint_dots_with_no_batch_dims),
-        # "0" no remat (memory permitting).
-        remat_mode = os.environ.get("RGBDSEG_REMAT", "1")
+        # Encoder-layer remat policy. DEFAULT: no remat ("0") — measured
+        # 2026-08-21 on v5e at 640x480: the pixel-decoder backward was the
+        # train step's largest block (39 ms profiled) and ~9 ms of it was
+        # recomputing the forward; RGBDSEG_REMAT=0 vs 1 measures 90.9 vs
+        # 99.2 ms/step device (10.06 vs 9.36 img/s), and memory fits through
+        # B=4 (488.6 ms/step, no OOM; the separable tent path never
+        # materializes the (B*heads, L, hw) fused-P matrices that originally
+        # motivated remat). RGBDSEG_REMAT=1 restores full per-layer remat
+        # (flat memory for larger batches/deeper configs), "dots" keeps
+        # matmul outputs only (checkpoint_dots_with_no_batch_dims; measured
+        # worse than both, PERF.md train ledger).
+        remat_mode = os.environ.get("RGBDSEG_REMAT", "0")
         if remat_mode == "0":
             layer = EncoderLayer
         elif remat_mode == "dots":

@@ -19,6 +19,27 @@ generation), and on TPU v5e the twins WIN end-to-end at this model's shapes:
                                                 this K)
       both kernels                17.4 img/s
 
+    band-tiled deformable kernel (2026-08-21, VERDICT r3 #3 — the variant
+    PERF.md penciled at ~2 ms/frame saved): builds the WHOLE row-band's P
+    tile (block_l, rows*128) in one vectorized pass and issues one
+    (block_l, rows*128) @ (rows*128, 32) matmul per band, keeping the exact
+    active-band skip. Measured at the real level shapes (bh=8, L=6300,
+    60x80, hd=32, bf16, scan-timed inside one executable):
+      XLA separable twin  3.02 ms/call
+      band kernel         4.97 ms/call   (beats the per-row kernel's 5.33
+                                          but still loses: the dense
+                                          (block_l, rows*128) tent build is
+                                          VPU-bound — ~11 elementwise ops x
+                                          4 points over every lane, 98% of
+                                          which are structural zeros the MXU
+                                          formulation gets for free)
+      end-to-end: 20.9 img/s (42.6 ms device) vs 46.1 (16.7 ms) same-session
+      — in-model the pallas_call boundary also forfeits XLA's fusion of the
+      tent build into neighboring ops. Verdict: opt-in only
+      (RGBDSEG_PALLAS_ENABLE=deform_band), same as the other two kernels.
+      The pencil estimate is now CLOSED with a measurement: on v5e at hd=32
+      the separable XLA formulation stands.
+
 The kernels are kept (a) as regression baselines that pin the twins' numerics
 via tests/test_pallas_kernels.py, (b) for ablation, and (c) for shape regimes
 where manual tiling should win (Q >= 1024 masked attention, hd >= 128

@@ -19,6 +19,7 @@ All mask logits are (B, Q, H, W); target masks (B, T, H, W) float 0/1.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import jax
@@ -181,9 +182,20 @@ def sample_points_with_uncertainty(
     r1, r2 = jax.random.split(rng)
     coords = _uniform(r1, (b, n, num_sampled, 2))
     logits = _sample_each_mask(pred_masks, coords)  # (B, N, S)
-    uncertainty = -jnp.abs(logits)
-    _, idx = jax.lax.top_k(uncertainty, num_uncertain)  # (B, N, U)
-    picked = jnp.take_along_axis(coords, idx[..., None], axis=2)
+    # top_k(-|l|, U) + take_along_axis(coords, idx) done as ONE variadic
+    # stable sort that carries the coordinates as payload through the
+    # sorting network. Exactly the same selection: ascending stable sort on
+    # |logits| == descending top_k on -|logits| including tie order, and the
+    # first U payload entries are the picked coords. Why: the (S, 2) coords
+    # gather has a 2-float minor dim that XLA lowers to near-serial row
+    # fetches (PERF.md rule 7; profiled 10.4 ms/step inside the criterion
+    # scan — padding the minor dim gets dead-code-eliminated back to 2), and
+    # the payload sort replaces BOTH the 6 ms top_k and the 10.4 ms gather
+    # with one ~7 ms sort.
+    _, cx, cy = jax.lax.sort(
+        (jnp.abs(logits), coords[..., 0], coords[..., 1]), dimension=-1, num_keys=1
+    )
+    picked = jnp.stack([cx[..., :num_uncertain], cy[..., :num_uncertain]], axis=-1)
     if num_random > 0:
         picked = jnp.concatenate(
             [picked, _uniform(r2, (b, n, num_random, 2))], axis=2
@@ -306,5 +318,17 @@ def mask2former_loss(
         total = weighted["loss_cross_entropy"] + weighted["loss_mask"] + weighted["loss_dice"]
         return carry + total, weighted
 
-    total, per_layer = jax.lax.scan(body, jnp.float32(0.0), (cls_stack, msk_stack, col4rows, rngs))
+    # Criterion scan unroll: DEFAULT fully unrolled — measured 2026-08-21
+    # on v5e 640x480 v0.4.0 (device ms/step): scan 81.3 / unroll=2 81.2 /
+    # unroll=5 81.3 / full 76.4 (11.12 -> 11.75 img/s): only the full unroll
+    # lets XLA fuse and pipeline across layer boundaries. Semantics are
+    # unchanged (same per-layer math and RNG stream); RGBDSEG_CRIT_UNROLL=1
+    # restores the rolled loop (smallest compile).
+    u = os.environ.get("RGBDSEG_CRIT_UNROLL", "full")
+    total, per_layer = jax.lax.scan(
+        body,
+        jnp.float32(0.0),
+        (cls_stack, msk_stack, col4rows, rngs),
+        unroll=True if u == "full" else int(u),
+    )
     return total, per_layer

@@ -462,11 +462,25 @@ class Trainer:
                 state = load_checkpoint(resume_from_checkpoint, state)
                 state["rng"] = self.rng
                 logger.warning("checkpoint has no rng state; resumed stream restarts from the seed")
-            self.params = state["params"]
-            self.opt_state = state["opt_state"]
-            self.batch_stats = state["batch_stats"]
+            # Re-place the restored host trees onto THIS trainer's mesh
+            # shardings. The checkpoint is topology-agnostic (host-gathered
+            # full arrays), but the AOT-compiled step executables require
+            # exact sharding matches — without this, restoring a dp x mp
+            # checkpoint into a pure-DP (or any multi-device) trainer fails
+            # with a passed-vs-required sharding mismatch (found by
+            # dryrun_multichip's cross-topology leg, VERDICT r3 #7).
+            if isinstance(self.param_sharding, NamedSharding):
+                self.params = jax.tree.map(
+                    lambda a: jax.device_put(a, self.param_sharding), state["params"]
+                )
+            else:
+                self.params = jax.tree.map(jax.device_put, state["params"], self.param_sharding)
+            self.opt_state = jax.tree.map(jax.device_put, state["opt_state"], self.opt_sharding)
+            self.batch_stats = jax.tree.map(
+                lambda a: jax.device_put(a, self.repl), state["batch_stats"]
+            )
             self.global_step = int(state["step"])
-            self.rng = state["rng"]
+            self.rng = jax.device_put(jnp.asarray(state["rng"]), self.repl)
             ts_path = os.path.join(args.output_dir, "trainer_state.json")
             if os.path.exists(ts_path):
                 with open(ts_path) as f:

@@ -114,7 +114,10 @@ def test_loss_deterministic_given_key():
     assert float(t1) == float(t2)
 
 
-@pytest.mark.parametrize("env", [{"RGBDSEG_FOLD_BN": "0"}, {"RGBDSEG_EDSAM_CONV": "conv"}])
+@pytest.mark.parametrize(
+    "env",
+    [{"RGBDSEG_FOLD_BN": "0"}, {"RGBDSEG_EDSAM_CONV": "conv"}, {"RGBDSEG_EDSAM_FLAT": "1"}],
+)
 def test_bn_fold_and_conv_twin_match_default(env, monkeypatch):
     """Eval-mode BatchNorm folding (models/fusion.py::_conv_bn_relu, default
     on) and the native-conv twin of the E-DSAM merged front conv must match
@@ -143,3 +146,33 @@ def test_bn_fold_and_conv_twin_match_default(env, monkeypatch):
         atol=5e-5,
         rtol=1e-5,
     )
+
+
+def test_bf16_forward_tracks_f32(monkeypatch):
+    """Mixed-precision policy bound (ADVICE r3): the bf16 forward (params +
+    activations cast to bfloat16, exactly what bench.py and the Trainer's
+    bf16 mode run) must track the f32 forward within a stated model-level
+    bound, so future changes can't silently widen the bf16 path's deviation.
+    Random tiny weights are the WORST case for this ratio (near-zero logits:
+    weak signal under fixed bf16 noise, plus E-DSAM/masked-attention
+    thresholds flip pixels discretely, so max-abs is not a usable metric);
+    measured relative-RMS on this config: class 0.072, masks 0.166 — bounds
+    carry ~50% headroom over that floor."""
+    cfg, model, x, variables = _make("0.4.0")
+    f32 = model.apply(variables, x, deterministic=True)
+    bf16_vars = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, variables
+    )
+    bf16 = model.apply(bf16_vars, x.astype(jnp.bfloat16), deterministic=True)
+
+    def rel_rms(a, b):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        return float(np.sqrt(((a - b) ** 2).mean()) / np.sqrt((a**2).mean()))
+
+    cls = rel_rms(f32.class_queries_logits, bf16.class_queries_logits)
+    msk = rel_rms(f32.masks_queries_logits, bf16.masks_queries_logits)
+    assert cls < 0.12, cls
+    assert msk < 0.25, msk
+    # and the bf16 path must not silently promote: outputs stay bf16
+    assert bf16.class_queries_logits.dtype == jnp.bfloat16

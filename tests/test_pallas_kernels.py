@@ -131,3 +131,51 @@ class TestMaskedCrossAttentionKernel:
         g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(g_k, g_r):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
+class TestTentBandKernel:
+    def test_matches_xla_twin(self):
+        from rgbdseg_tpu.ops.kernels.deformable import tent_sample_level_band
+
+        gx, gy, aw, v = _tent_inputs()
+        h, w = 17, 23
+        ref = deformable.tent_sample_level_xla(gx, gy, aw, v, h, w)
+        out = tent_sample_level_band(gx, gy, aw, v, h, w, True)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+    def test_matches_xla_twin_model_shape(self):
+        """The real 640x480 level-0 geometry (60x80 cells, raster-ordered
+        local queries) — the regime the band skip is designed for."""
+        from rgbdseg_tpu.ops.kernels.deformable import tent_sample_level_band
+
+        bh, npts, h, w, hd = 2, 4, 60, 80, 32
+        l = h * w
+        rng = np.random.RandomState(3)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        base_x = xx.reshape(-1)[None, :, None] + rng.uniform(-3, 3, (bh, l, npts))
+        base_y = yy.reshape(-1)[None, :, None] + rng.uniform(-3, 3, (bh, l, npts))
+        gx = jnp.asarray(base_x, jnp.float32)
+        gy = jnp.asarray(base_y, jnp.float32)
+        aw = jax.nn.softmax(jnp.asarray(rng.randn(bh, l, npts), jnp.float32), axis=-1)
+        v = jnp.asarray(rng.randn(bh, h * w, hd), jnp.float32)
+        ref = deformable.tent_sample_level_xla(gx, gy, aw, v, h, w)
+        out = tent_sample_level_band(gx, gy, aw, v, h, w, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    def test_gradients_match_twin(self):
+        from rgbdseg_tpu.ops.kernels.deformable import tent_sample_level_band
+
+        gx, gy, aw, v = _tent_inputs(l=140, h=9, w=11)
+        h, w = 9, 11
+
+        def f_band(gx, gy, aw, v):
+            return jnp.sum(tent_sample_level_band(gx, gy, aw, v, h, w, True) ** 2)
+
+        def f_ref(gx, gy, aw, v):
+            return jnp.sum(deformable.tent_sample_level_xla(gx, gy, aw, v, h, w) ** 2)
+
+        g_band = jax.grad(f_band, argnums=(0, 1, 2, 3))(gx, gy, aw, v)
+        g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3))(gx, gy, aw, v)
+        for a, b in zip(g_band, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
