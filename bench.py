@@ -310,7 +310,7 @@ def bench_eval():
     # first update; in a real eval it compiles once per dataset) — then reset
     # the metric so the timed loop starts clean.
     evaluator.update(*forward(xs[0]), gts[0])
-    evaluator.metric.reset()
+    evaluator.reset()  # drops the deferred warmup update too
 
     t0 = time.perf_counter()
     # One-batch pipeline: the next forward is dispatched (async) before the
@@ -324,6 +324,10 @@ def bench_eval():
             evaluator.update(*pending)
         pending = (*logits, gt)
     evaluator.update(*pending)
+    # Drain the deferred device-stats queue INSIDE the timed region: the
+    # throughput number must include every mAP update, not just the ones the
+    # pipeline overlapped.
+    evaluator.flush()
     dt = time.perf_counter() - t0
     t0 = time.perf_counter()
     evaluator.compute()

@@ -10,6 +10,7 @@ Parity target: the reference Evaluator (model_essential_part.py:31-157):
 
 from __future__ import annotations
 
+import collections
 import os
 
 import numpy as np
@@ -36,6 +37,18 @@ class Evaluator:
         self.threshold = threshold
         self.eval_at_original_size = eval_at_original_size
         self.metric = MeanAveragePrecision(class_metrics=True)
+        # Deferred-drain queue for the device-stats path. Fetching batch i's
+        # stats inside the eval pipeline blocks the host until everything
+        # ALREADY in the device queue finishes (the caller dispatched batch
+        # i+1's forward first), so a synchronous fetch serializes
+        # forward + stats + tunnel RTT + host metric work per batch. Holding
+        # `depth` batches of in-flight stat arrays (tiny: O(B·Q·T) scalars,
+        # copy_to_host_async'd at dispatch) means by drain time the copy has
+        # landed and np.asarray returns immediately — the RTT and the host
+        # metric update overlap the device's next forwards instead of
+        # extending the critical path. compute()/flush() drain the tail.
+        self._pending: collections.deque = collections.deque()
+        self._pending_depth = int(os.environ.get("RGBDSEG_EVAL_PIPELINE_DEPTH", "2"))
 
     def update(self, class_logits, mask_logits, batch, target_sizes=None):
         b = batch.pixel_values.shape[0]
@@ -86,12 +99,9 @@ class Evaluator:
             )
         self.metric.update(preds, targets)
 
-    def device_stats_arrays(self, class_logits, mask_logits, gt_packed, valid, target_hw, gt_hw):
-        """Run the on-device IoU/area stats program over (possibly local-shard)
-        logits + bit-packed GT and pull the O(Q·T) scalars to the host.
-        Factored out of `_update_device_stats` so the multi-host eval path
-        (train/trainer.py:_eval_update_multihost) can run it per host shard
-        and allgather only the returned scalars."""
+    def _dispatch_stats(self, class_logits, mask_logits, gt_packed, valid, target_hw, gt_hw):
+        """Dispatch the on-device IoU/area stats program and start the D2H
+        copies; returns the (still device-resident) output arrays."""
         import jax.numpy as jnp
 
         from ..inference.postprocess import _eval_stats_device
@@ -107,12 +117,27 @@ class Evaluator:
         for x in outs:  # overlap the device->host copies (one tunnel RTT)
             if hasattr(x, "copy_to_host_async"):
                 x.copy_to_host_async()
+        return outs
+
+    @staticmethod
+    def _materialize_stats(outs):
         scores, labels, darea, garea, inter = (np.asarray(x) for x in outs)
         # The host path reads scores from segments_info, which rounds to 6
         # decimals (postprocess parity with the reference) — match it here so
         # both paths produce bit-identical metric inputs.
         scores = np.round(scores.astype(np.float64), 6)
         return scores, labels, darea, garea, inter
+
+    def device_stats_arrays(self, class_logits, mask_logits, gt_packed, valid, target_hw, gt_hw):
+        """Run the on-device IoU/area stats program over (possibly local-shard)
+        logits + bit-packed GT and pull the O(Q·T) scalars to the host.
+        Factored out of `_update_device_stats` so the multi-host eval path
+        (train/trainer.py:_eval_update_multihost) can run it per host shard
+        and allgather only the returned scalars (synchronous — the allgather
+        needs the values now)."""
+        return self._materialize_stats(
+            self._dispatch_stats(class_logits, mask_logits, gt_packed, valid, target_hw, gt_hw)
+        )
 
     def update_from_stats(self, stats, gt_labels, gt_valid):
         """Per-image metric updates from device-computed stats arrays."""
@@ -135,7 +160,7 @@ class Evaluator:
         gt_bool = np.asarray(batch.mask_labels).astype(bool)
         b, t, gh, gw = gt_bool.shape
         gt_packed = np.packbits(gt_bool.reshape(b, t, -1), axis=-1)
-        stats = self.device_stats_arrays(
+        outs = self._dispatch_stats(
             class_logits,
             mask_logits,
             gt_packed,
@@ -143,9 +168,28 @@ class Evaluator:
             target_hw,
             (gh, gw),
         )
-        self.update_from_stats(stats, batch.class_labels, batch.valid)
+        self._pending.append(
+            (outs, np.asarray(batch.class_labels), np.asarray(batch.valid, bool))
+        )
+        while len(self._pending) > self._pending_depth:
+            self._drain_one()
+
+    def _drain_one(self):
+        outs, gt_labels, gt_valid = self._pending.popleft()
+        self.update_from_stats(self._materialize_stats(outs), gt_labels, gt_valid)
+
+    def flush(self):
+        """Drain every deferred device-stats update into the metric."""
+        while self._pending:
+            self._drain_one()
+
+    def reset(self):
+        """Discard deferred updates and accumulated metric state."""
+        self._pending.clear()
+        self.metric.reset()
 
     def compute(self, prefix: str = "") -> dict[str, float]:
+        self.flush()
         out = self.metric.compute()
         metrics: dict[str, float] = {}
         classes = out.pop("classes", [])

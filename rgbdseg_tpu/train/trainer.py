@@ -767,7 +767,10 @@ class Trainer:
 
         def flush(pending):
             cls_logits, mask_logits, loss, sub, full, real_b = pending
-            losses.append(float(loss))
+            # Defer the scalar loss fetch (materialized after the loop): a
+            # float() here costs one tunnel RTT per batch AND waits for the
+            # already-dispatched next forward to clear the device queue.
+            losses.append(loss)
             if jax.process_count() == 1:
                 # keep the logits ON DEVICE: post-processing jits over them
                 # and ships only bit-packed binary maps to the host — pulling
@@ -803,6 +806,12 @@ class Trainer:
             pending = (cls_logits, mask_logits, loss, sub, batch, real_b)
         if pending is not None:
             n += flush(pending)
+        # Materialize the deferred work inside the timed region so
+        # eval_samples_per_second stays honest: drain the evaluator's
+        # device-stats queue and fetch the per-batch loss scalars (one RTT
+        # total — they are all long since computed).
+        evaluator.flush()
+        losses = [float(l) for l in losses]
         runtime = time.time() - t0
         metrics = {prefix + "loss": float(np.mean(losses))}
         metrics.update(evaluator.compute(prefix=prefix))

@@ -101,3 +101,48 @@ def test_update_precomputed_equals_mask_update():
     assert set(r1) == set(r2)
     for k in r1:
         np.testing.assert_array_equal(np.asarray(r1[k]), np.asarray(r2[k]), err_msg=k)
+
+
+def test_deferred_drain_semantics(monkeypatch):
+    """The device-stats path defers metric updates behind a small queue
+    (evaluator.py:_update_device_stats) so the tunnel RTT + host metric work
+    overlap device compute. Pin the queue's semantics: depth-0 (synchronous)
+    and the default deferred mode produce identical metrics; reset() discards
+    pending updates (bench.py relies on this to drop its warmup batch); and
+    updates stay queued until flush()/compute()."""
+    monkeypatch.setenv("RGBDSEG_EVAL_DEVICE_STATS", "1")
+    rng = np.random.RandomState(7)
+    b, t, q, gh, gw = 2, 4, 8, 32, 40
+    batches, logits = [], []
+    for _ in range(4):
+        batches.append(_random_batch(rng, b, t, gh, gw))
+        cl = rng.randn(b, q, 6).astype(np.float32) * 2
+        ml = rng.randn(b, q, gh // 4, gw // 4).astype(np.float32)
+        logits.append((cl, ml))
+
+    def run(depth_env):
+        if depth_env is not None:
+            monkeypatch.setenv("RGBDSEG_EVAL_PIPELINE_DEPTH", depth_env)
+        else:
+            monkeypatch.delenv("RGBDSEG_EVAL_PIPELINE_DEPTH", raising=False)
+        ev = Evaluator({i: str(i) for i in range(5)}, threshold=0.0)
+        # reset() after a warmup update must leave no trace
+        ev.update(*logits[-1], batches[-1])
+        ev.reset()
+        assert not ev._pending
+        for batch, (cl, ml) in zip(batches, logits):
+            ev.update(cl, ml, batch)
+        return ev
+
+    ev_sync = run("0")
+    assert not ev_sync._pending  # drained as it goes
+    sync_metrics = ev_sync.compute()
+
+    ev_def = run(None)
+    assert len(ev_def._pending) == 2  # 4 updates, default depth 2
+    deferred_metrics = ev_def.compute()  # compute() flushes the tail
+    assert not ev_def._pending
+
+    assert set(sync_metrics) == set(deferred_metrics)
+    for k in sync_metrics:
+        assert sync_metrics[k] == pytest.approx(deferred_metrics[k], rel=1e-9, abs=1e-12), k
