@@ -24,11 +24,14 @@ Supported layouts (versions registry): 3-channel (0.0.0), 6-channel
 fall back to the host builders for the other layouts (gated by
 `supported(version)`).
 
-All builders assume the raw frames are ALREADY at the target size (the
-callers gate on that): the host builders grayscale/gradient at the source
-resolution and THEN cv2-resize, so resize-then-derive on device would
-diverge for inputs needing resizing (ADVICE r3). At target size every
-derivation is identical and the parity is exact.
+Frames at the TARGET size take the direct path. Frames at any OTHER
+(uniform) size are resized ON DEVICE with bit-exact twins of the host
+resamplers (ops/resize_exact.py: PIL BILINEAR for process_image parity, cv2
+INTER_LINEAR for the gray-depth/mask paths), applied in the host builders'
+exact order — grayscale at SOURCE resolution, then cv2-resize, then Sobel
+(resize-then-derive does not commute; ADVICE r3) — so raw-uint8 upload now
+works for arbitrary camera sizes with pixel-identical channels
+(VERDICT r4 #8; parity pinned in tests/test_data.py::TestDevicePreprocess).
 
 The `packed` layout concatenates the required uint8 frames channel-wise into
 ONE (B, H, W, C) uint8 array (rgb | depth-or-grad [| grad]) so batch input
@@ -101,13 +104,19 @@ def build_pixels(
     cfg: PreprocessConfig,
     grad_u8: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Raw (B, H, W, 3) uint8 frames (already at the target size) -> the
-    version's float32 channel stack, identical to the host map function's
-    pixel output. `depth_u8` is the second on-disk frame (depth image for
-    most layouts, the precomputed gradient image for map_7channel_tmp);
-    `grad_u8` is case1's third on-disk frame. Jit-friendly: pure jnp,
-    static shapes.
+    """Raw (B, H, W, 3) uint8 frames -> the version's float32 channel stack,
+    identical to the host map function's pixel output. Source frames at the
+    target size take the derive-only path; any other size goes through
+    `_build_pixels_resized`, which replicates the host builders'
+    derive/resize ordering with the bit-exact device resamplers. `depth_u8`
+    is the second on-disk frame (depth image for most layouts, the
+    precomputed gradient image for map_7channel_tmp); `grad_u8` is case1's
+    third on-disk frame. Jit-friendly: pure jnp, static shapes.
     """
+    from ..data.preprocess import output_size
+
+    if tuple(rgb_u8.shape[-3:-1]) != output_size(cfg):
+        return _build_pixels_resized(map_fn_name, rgb_u8, depth_u8, cfg, grad_u8)
     color = normalize_u8(rgb_u8, cfg)
     if map_fn_name == "map_3channel":
         return color
@@ -140,6 +149,61 @@ def build_pixels(
         return jnp.concatenate([color, depth, grad, gmask[..., None]], axis=-1)
     if map_fn_name == "map_10channel_case2":
         gray = pil_grayscale_u8(depth_u8).astype(jnp.float32)
+        norm_mag, _, _, valid = gradient_features(gray)
+        grad = jnp.stack([norm_mag] * 3, axis=-1)
+        return jnp.concatenate([color, depth, grad, valid[..., None]], axis=-1)
+    raise ValueError(f"device preprocess does not support {map_fn_name}")
+
+
+def _build_pixels_resized(
+    map_fn_name: str,
+    rgb_u8: jnp.ndarray,
+    depth_u8: jnp.ndarray | None,
+    cfg: PreprocessConfig,
+    grad_u8: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Source frames at a non-target size: replicate each host builder's
+    EXACT pipeline (data/registry.py) on device — PIL-BILINEAR resize for
+    process_image channels, PIL-grayscale at SOURCE size then cv2-INTER_LINEAR
+    resize for the gray-depth derivations, cv2-resize >50 thresholds for the
+    validity masks. Both resamplers are the bit-exact integer twins from
+    ops/resize_exact.py, so the output equals the host map function's
+    pixel-for-pixel."""
+    from ..ops.resize_exact import cv2_resize_linear_u8, pil_resize_u8
+    from .preprocess import output_size
+
+    size = output_size(cfg)
+    color = normalize_u8(pil_resize_u8(rgb_u8, size), cfg)
+    if map_fn_name == "map_3channel":
+        return color
+    assert depth_u8 is not None, "RGB-D layout needs a second frame"
+    if map_fn_name == "map_7channel_tmp":
+        grad = normalize_u8(pil_resize_u8(depth_u8, size), cfg)
+        resized = cv2_resize_linear_u8(depth_u8, size)
+        gmask = jnp.any(resized > 50, axis=-1).astype(jnp.float32)
+        return jnp.concatenate([color, grad, gmask[..., None]], axis=-1)
+    if map_fn_name in ("map_7channel_g2", "map_7channel_s", "map_7channel_s2"):
+        # host order: PIL convert("L") at SOURCE size -> cv2 resize -> derive
+        gray = cv2_resize_linear_u8(pil_grayscale_u8(depth_u8), size).astype(jnp.float32)
+        if map_fn_name == "map_7channel_g2":
+            norm_mag, _, _, valid = gradient_features(gray)
+            grad = jnp.stack([norm_mag] * 3, axis=-1)
+            return jnp.concatenate([color, grad, valid[..., None].astype(jnp.float32)], axis=-1)
+        if map_fn_name == "map_7channel_s":
+            normals, valid = surface_normals_gradient(gray)
+            return jnp.concatenate([color, normals, valid[..., None].astype(jnp.float32)], axis=-1)
+        return jnp.concatenate([color, gray[..., None]], axis=-1)
+    depth = normalize_u8(pil_resize_u8(depth_u8, size), cfg)
+    if map_fn_name == "map_6channel":
+        return jnp.concatenate([color, depth], axis=-1)
+    if map_fn_name == "map_10channel_case1":
+        assert grad_u8 is not None, "case1 needs the on-disk gradient frame"
+        grad = normalize_u8(pil_resize_u8(grad_u8, size), cfg)
+        resized = cv2_resize_linear_u8(grad_u8, size)
+        gmask = jnp.any(resized > 50, axis=-1).astype(jnp.float32)
+        return jnp.concatenate([color, depth, grad, gmask[..., None]], axis=-1)
+    if map_fn_name == "map_10channel_case2":
+        gray = cv2_resize_linear_u8(pil_grayscale_u8(depth_u8), size).astype(jnp.float32)
         norm_mag, _, _, valid = gradient_features(gray)
         grad = jnp.stack([norm_mag] * 3, axis=-1)
         return jnp.concatenate([color, depth, grad, valid[..., None]], axis=-1)

@@ -63,13 +63,14 @@ class Predictor:
         spec = get_version(self.cfg.version)
         if DP.supported(spec.map_fn) and R.TRANSFORM is None:
             # Device-side channel building: exact pixel parity with the host
-            # builders is pinned in tests/test_data.py::TestDevicePreprocess —
-            # but ONLY for frames already at the target size: the host
-            # builders derive (grayscale / Sobel / >50 masks) at SOURCE
-            # resolution and then cv2-bilinear-resize, so resizing first and
-            # deriving on device diverges (cv2 INTER_LINEAR != PIL BILINEAR,
-            # and derive/resize don't commute — ADVICE r3). Gate on size and
-            # fall back to the host builder otherwise.
+            # builders is pinned in tests/test_data.py::TestDevicePreprocess.
+            # Arbitrary-size camera frames are fine — the device builder
+            # replicates the host's derive/resize ordering (grayscale at
+            # SOURCE size, cv2-resize, then Sobel) with bit-exact integer
+            # resampler twins (ops/resize_exact.py), so raw uint8 uploads
+            # (3-9 B/px at source size vs 12-40 of the float stack) work for
+            # any input. The only gate left: all frames must share one size
+            # (mismatched RGB/depth sizes fall back to the host builder).
             size = output_size(self.preprocess)
             frames = [R._rgb(example["image"])]
             width = DP.packed_width(spec.map_fn)
@@ -77,7 +78,7 @@ class Predictor:
                 frames.append(R._depth_rgb(example["image"]))
             if width > 6:
                 frames.append(R._depth_rgb(example["image"], 2))
-            if all(f.shape[:2] == size for f in frames):
+            if len({f.shape[:2] for f in frames}) == 1:
                 packed = np.concatenate(frames, axis=-1)
                 if self._apply_raw is None:
                     self._apply_raw = jax.jit(self._forward_raw)

@@ -190,10 +190,15 @@ class TestDevicePreprocess:
     # every device-supported layout: 0.0.0 (3ch), 0.0.2 (7ch tmp), 0.0.5
     # (7ch gradient features), 0.0.6 (7ch normals), 0.0.7 (4ch gray), 0.1.1
     # (6ch), 0.3.0 (10ch case1, on-disk gradient frame), 0.4.0 (10ch case2)
+    # src=None: frames already at the target size (derive-only path).
+    # src=(100, 150) / (40, 60): arbitrary camera sizes — the device builder
+    # resizes with the bit-exact host-resampler twins (VERDICT r4 #8) in the
+    # host's derive/resize order; parity must hold exactly either way.
+    @pytest.mark.parametrize("src", [None, (100, 150), (40, 60)])
     @pytest.mark.parametrize(
         "version", ["0.0.0", "0.0.2", "0.0.5", "0.0.6", "0.0.7", "0.1.1", "0.3.0", "0.4.0"]
     )
-    def test_matches_host_builder(self, version, tmp_path):
+    def test_matches_host_builder(self, version, src, tmp_path):
         from PIL import Image
         from rgbdseg_tpu import versions as V
         from rgbdseg_tpu.config import PreprocessConfig
@@ -201,14 +206,15 @@ class TestDevicePreprocess:
         from rgbdseg_tpu.data import device_preprocess as DP
 
         rng = np.random.RandomState(1)
-        h, w = 64, 96  # already divisible by 32: no host resize
+        h, w = 64, 96  # target, already divisible by 32
+        sh, sw = src or (h, w)
         cfg = PreprocessConfig(height=h, width=w)
         spec = V.get(version)
         assert DP.supported(spec.map_fn)
         width = DP.packed_width(spec.map_fn)
         frames, paths = [], []
         for i in range(width // 3):
-            f = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            f = rng.randint(0, 256, (sh, sw, 3), dtype=np.uint8)
             p = str(tmp_path / f"f{i}.png")
             Image.fromarray(f).save(p)
             frames.append(f)
@@ -262,24 +268,25 @@ def test_predictor_device_preprocess_matches_host(tmp_path):
     )
 
 
-def test_predictor_fast_path_gated_on_source_size(tmp_path):
-    """ADVICE r3: an input that needs resizing must NOT take the device fast
-    path — the host builders grayscale/Sobel at source resolution then
-    cv2-resize, which does not commute with resize-then-derive (and cv2
-    INTER_LINEAR != PIL BILINEAR). The predictor must fall back to the host
-    builder whenever decoded frames aren't already at the target size."""
+def test_predictor_fast_path_handles_source_resize(tmp_path):
+    """VERDICT r4 #8 (supersedes the r3 size gate): an input needing resize
+    now TAKES the device fast path — the device builder replicates the
+    host's derive/resize ordering with bit-exact resampler twins
+    (ops/resize_exact.py) — and must produce the same instances as the host
+    channel-builder fallback. Frames with MISMATCHED sizes still fall back."""
     from PIL import Image
     import jax
     from rgbdseg_tpu.config import ModelConfig
+    from rgbdseg_tpu.data import registry as R
     from rgbdseg_tpu.inference.predictor import Predictor
     from rgbdseg_tpu.models.mask2former import Mask2FormerRGBD
 
     rng = np.random.RandomState(9)
     h, w = 64, 64
-    # source frames at 2x the target size -> resize required
+    # source frames at a non-target (larger, non-integer-ratio) size
     rgb_p, d_p = str(tmp_path / "r.png"), str(tmp_path / "d.png")
-    Image.fromarray(rng.randint(0, 256, (2 * h, 2 * w, 3), dtype=np.uint8)).save(rgb_p)
-    Image.fromarray(rng.randint(0, 256, (2 * h, 2 * w, 3), dtype=np.uint8)).save(d_p)
+    Image.fromarray(rng.randint(0, 256, (100, 150, 3), dtype=np.uint8)).save(rgb_p)
+    Image.fromarray(rng.randint(0, 256, (100, 150, 3), dtype=np.uint8)).save(d_p)
 
     cfg = ModelConfig.tiny(num_labels=2, version="0.4.0")
     model = Mask2FormerRGBD(cfg)
@@ -288,6 +295,26 @@ def test_predictor_fast_path_gated_on_source_size(tmp_path):
     )
     pre = PreprocessConfig(height=h, width=w)
     p = Predictor(cfg, variables["params"], variables.get("batch_stats"), preprocess=pre)
-    res = p.predict_example({"image": [rgb_p, d_p]}, threshold=0.1)
-    assert p._apply_raw is None  # device fast path was (correctly) skipped
+    example = {"image": [rgb_p, d_p]}
+    fast = p.predict_example(example, threshold=0.1)
+    assert p._apply_raw is not None  # packed raw path engaged despite resize
+    assert fast["segmentation"].shape[-2:] == (h, w)
+    try:
+        R.set_transform(lambda image, mask: {"image": image, "mask": mask})
+        host = p.predict_example(example, threshold=0.1)
+    finally:
+        R.set_transform(None)
+    assert len(fast["segments_info"]) == len(host["segments_info"])
+    np.testing.assert_allclose(
+        np.asarray(fast["segmentation"], np.float32),
+        np.asarray(host["segmentation"], np.float32),
+        atol=1e-5,
+    )
+
+    # mismatched frame sizes: the one remaining gate — host fallback
+    d2_p = str(tmp_path / "d2.png")
+    Image.fromarray(rng.randint(0, 256, (80, 150, 3), dtype=np.uint8)).save(d2_p)
+    p2 = Predictor(cfg, variables["params"], variables.get("batch_stats"), preprocess=pre)
+    res = p2.predict_example({"image": [rgb_p, d2_p]}, threshold=0.1)
+    assert p2._apply_raw is None
     assert res["segmentation"].shape[-2:] == (h, w)
