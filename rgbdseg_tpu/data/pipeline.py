@@ -39,6 +39,64 @@ class Batch:
     # reference post-processes/exports at these sizes (predictor.py:692-703,
     # resize_masks_to_original_size :1068-1125)
     orig_sizes: Optional[np.ndarray] = None
+    # bit-packed GT masks (B, T, ceil(H*W/8)) uint8 — packbits over the
+    # flattened (H, W); precomputed in the pipeline's worker threads (and
+    # memoized per example) when `SegmentationDataset.pack_gt` is set, so the
+    # device-stats eval path ships GT without an np.packbits in its dispatch
+    # path (the packing otherwise sat between dispatching batch i+1's forward
+    # and queueing batch i's stats — host time the one-batch eval pipeline
+    # could not overlap).
+    mask_labels_packed: Optional[np.ndarray] = None
+
+
+def compact_targets(
+    mask_labels: np.ndarray,
+    class_labels: np.ndarray,
+    valid: np.ndarray,
+    min_bucket: int = 8,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Slice padded instance targets to the smallest power-of-two bucket
+    covering the batch's real max instance count.
+
+    The criterion's point-sampling cost is LINEAR in the padded slot count T
+    (PERF.md: T=20 61.7 ms -> T=100 265.7 ms criterion fwd+bwd) and every
+    padded slot pays full price, so a dataset configured with a generous
+    `max_instances` (the reference keeps ragged lists and pays only for real
+    instances, dataloader.py:772-780) would run the criterion mostly on
+    padding. This compacts each host batch down to the per-batch real need
+    before upload: valid slots are packed first (stable sort — only when a
+    valid slot actually sits past the slice point; the pipeline already packs
+    valid-first so this is a no-op for its batches), then all target arrays
+    are sliced to the bucket.
+
+    Bucketing to powers of two (floored at `min_bucket`) bounds the number of
+    distinct T shapes the jitted step sees — one retrace/compile per bucket,
+    amortized by the persistent compile cache.
+
+    Semantics: the Hungarian assignment of real rows is invariant (padding
+    rows carry a uniform cost — ops/matcher.py docstring), num_masks counts
+    only valid slots, and padding rows write only no-object labels, so the
+    loss is unchanged except that the point-coordinate PRNG draw has shape
+    (B, T_bucket, S, 2) instead of (B, T_max, S, 2) — same distribution,
+    different stream, exactly as the reference's ragged draw depends on its
+    real instance count. Pinned exact (injected slot-stable coords) by
+    tests/test_compaction.py.
+    """
+    valid = np.asarray(valid, bool)
+    t = valid.shape[1]
+    tmax = int(valid.sum(1).max(initial=0))
+    tb = max(1, int(min_bucket))
+    while tb < tmax:
+        tb *= 2
+    tb = min(tb, t)
+    if tb >= t:
+        return mask_labels, class_labels, valid
+    if valid[:, tb:].any():  # valid slots past the slice point: pack them first
+        order = np.argsort(~valid, axis=1, kind="stable")
+        mask_labels = np.take_along_axis(mask_labels, order[:, :, None, None], axis=1)
+        class_labels = np.take_along_axis(class_labels, order, axis=1)
+        valid = np.take_along_axis(valid, order, axis=1)
+    return mask_labels[:, :tb], class_labels[:, :tb], valid[:, :tb]
 
 
 def load_meta(path: str, root: Optional[str] = None) -> list[dict]:
@@ -99,6 +157,11 @@ class SegmentationDataset:
         self._cache_bytes = 0
         self._cache_bytes_limit = cache_bytes_limit
         self._warned_truncation = False
+        # Opt-in (the Trainer's eval/predict loops set it): batches carry
+        # bit-packed GT masks, built here in the worker threads instead of in
+        # the evaluator's dispatch path. Memoized per example.
+        self.pack_gt = False
+        self._packed_cache: dict[int, np.ndarray] = {}
 
     def __len__(self) -> int:
         return len(self.records)
@@ -134,19 +197,22 @@ class SegmentationDataset:
 
     def _probe_device_channels(self) -> bool:
         """True iff every example can ship packed raw frames: supported
-        layout, no augmentation transform, and every frame already at the
-        target size (header-only PIL reads — no pixel decode)."""
+        layout, no augmentation transform, and ONE uniform frame size across
+        the whole dataset (header-only PIL reads — no pixel decode). The
+        size need not be the target size: the device builder resizes with
+        bit-exact host-resampler twins (device_preprocess, ops/resize_exact)
+        — uniformity is only required so the packed batches keep one static
+        shape (one compiled program)."""
         from . import device_preprocess as DP
         from . import registry as R
-        from .preprocess import output_size
 
         spec = get_version(self.version)
         if not DP.supported(spec.map_fn) or R.TRANSFORM is not None:
             return False
-        size = output_size(self.preprocess)
         n_frames = DP.packed_width(spec.map_fn) // 3
         from PIL import Image
 
+        sizes = set()
         for rec in self.records:
             imgs = rec["image"] if isinstance(rec["image"], (list, tuple)) else [rec["image"]]
             if len(imgs) < n_frames:
@@ -157,7 +223,8 @@ class SegmentationDataset:
                         w, h = im.size
                 else:
                     h, w = np.asarray(p).shape[:2]
-                if (h, w) != size:
+                sizes.add((h, w))
+                if len(sizes) > 1:
                     return False
         return True
 
@@ -293,6 +360,16 @@ class SegmentationDataset:
                     pending.append(nxt)
                 yield f.result()
 
+    def _packed_masks(self, idx: int, pm: np.ndarray) -> np.ndarray:
+        """Bit-packed (T, ceil(H*W/8)) GT for example `idx` (memoized —
+        identical to np.packbits(batch.mask_labels.reshape(B, T, -1), axis=-1)
+        row-wise, which is what the device-stats eval consumes)."""
+        if idx not in self._packed_cache:
+            self._packed_cache[idx] = np.packbits(
+                pm.astype(bool).reshape(pm.shape[0], -1), axis=-1
+            )
+        return self._packed_cache[idx]
+
     def _assemble(self, indices) -> Batch:
         items = [self[int(i)] for i in indices]
         return Batch(
@@ -302,6 +379,11 @@ class SegmentationDataset:
             valid=np.stack([i[3] for i in items]),
             orig_sizes=np.array(
                 [self.original_size(int(i)) for i in indices], np.int32
+            ),
+            mask_labels_packed=(
+                np.stack([self._packed_masks(int(i), it[1]) for i, it in zip(indices, items)])
+                if self.pack_gt
+                else None
             ),
         )
 

@@ -54,11 +54,13 @@ def generate(
     size: tuple[int, int] = (96, 128),
     seed: int = 0,
     num_modalities: int = 0,
+    num_objects: tuple[int, int] = (1, 4),
 ) -> dict:
     """Write the fixture dataset; returns paths dict.
 
     num_modalities > 0 additionally writes that many augmentation-modality
-    images per example (for the 30-channel/CSF path).
+    images per example (for the 30-channel/CSF path). num_objects is the
+    [lo, hi) range of instances per image (NYUv2-like density needs ~10+).
     """
     h, w = size
     rng = np.random.RandomState(seed)
@@ -70,7 +72,7 @@ def generate(
         records = []
         for i in range(n):
             idx = offset + i
-            rgb, depth, mask = _draw_scene(rng, h, w, num_objects=rng.randint(1, 4))
+            rgb, depth, mask = _draw_scene(rng, h, w, num_objects=rng.randint(*num_objects))
             ip = f"images/{idx}.png"
             dp = f"depth/{idx}.png"
             mp = f"mask/{idx}.png"

@@ -64,6 +64,16 @@ class TrainingArguments:
     # optimizer steps happen every N micro-batches; gradients are the exact
     # mean over the accumulated micro-batches (HF Trainer surface parity).
     gradient_accumulation_steps: int = 1
+    # Compact each batch's padded instance targets to the smallest
+    # power-of-two bucket (>= instance_bucket_floor) covering the batch's
+    # real max instance count before upload (data/pipeline.compact_targets):
+    # criterion cost is linear in the padded slot count, so a generous
+    # max_instances otherwise runs the matcher/point losses mostly on
+    # padding. One step retrace/compile per distinct bucket (persistent
+    # cache amortizes). Single-process only (multi-host keeps the static
+    # max_instances shape so every host dispatches the same program).
+    compact_instances: bool = True
+    instance_bucket_floor: int = 8
     dataloader_num_workers: int = 4
     resume_from_checkpoint: Optional[str] = None
     overwrite_output_dir: bool = False

@@ -47,8 +47,10 @@ class Evaluator:
         # landed and np.asarray returns immediately — the RTT and the host
         # metric update overlap the device's next forwards instead of
         # extending the critical path. compute()/flush() drain the tail.
+        # The depth is read ONCE here and fixed for the Evaluator's lifetime
+        # (clamped at 0: depth 0 = fully synchronous drain).
         self._pending: collections.deque = collections.deque()
-        self._pending_depth = int(os.environ.get("RGBDSEG_EVAL_PIPELINE_DEPTH", "2"))
+        self._pending_depth = max(0, int(os.environ.get("RGBDSEG_EVAL_PIPELINE_DEPTH", "2")))
 
     def update(self, class_logits, mask_logits, batch, target_sizes=None):
         b = batch.pixel_values.shape[0]
@@ -56,7 +58,11 @@ class Evaluator:
             if self.eval_at_original_size and batch.orig_sizes is not None:
                 target_sizes = [tuple(int(v) for v in s) for s in batch.orig_sizes]
             else:
-                target_sizes = [batch.pixel_values.shape[1:3]] * b
+                # the GT mask shape IS the reference's target size
+                # (model_essential_part.py:77-81) — and unlike pixel_values
+                # it stays the preprocessed size even when the batch carries
+                # raw source-size uint8 frames (device_channels mode)
+                target_sizes = [batch.mask_labels.shape[2:4]] * b
         # Device fast path: when every image in the batch evaluates at the
         # same size (always true for fixed-size datasets like NYUv2), compute
         # IoU/area stats ON DEVICE and ship only O(Q*T) scalars — the binary
@@ -69,6 +75,11 @@ class Evaluator:
             and os.environ.get("RGBDSEG_EVAL_DEVICE_STATS", "1") == "1"
         ):
             return self._update_device_stats(class_logits, mask_logits, batch, tuple(target_sizes[0]))
+        # Falling back to the synchronous host/mask path: drain any deferred
+        # device-stats updates first so metric updates stay in batch order
+        # (mAP is order-independent except for score-tie breaking, which is
+        # insertion-order mergesort — keep it identical to a pure-sync run).
+        self.flush()
         results = post_process_instance_segmentation(
             class_logits,
             mask_logits,
@@ -157,9 +168,14 @@ class Evaluator:
             )
 
     def _update_device_stats(self, class_logits, mask_logits, batch, target_hw):
-        gt_bool = np.asarray(batch.mask_labels).astype(bool)
-        b, t, gh, gw = gt_bool.shape
-        gt_packed = np.packbits(gt_bool.reshape(b, t, -1), axis=-1)
+        b, t, gh, gw = np.shape(batch.mask_labels)
+        # Prefer GT the pipeline pre-packed in its worker threads
+        # (Batch.mask_labels_packed); packing here sits in the eval dispatch
+        # path and serializes with the device's next forward.
+        gt_packed = getattr(batch, "mask_labels_packed", None)
+        if gt_packed is None:
+            gt_bool = np.asarray(batch.mask_labels).astype(bool)
+            gt_packed = np.packbits(gt_bool.reshape(b, t, -1), axis=-1)
         outs = self._dispatch_stats(
             class_logits,
             mask_logits,

@@ -109,6 +109,9 @@ class Trainer:
         self.total_flos = 0.0
         self._flos_per_micro_step: Optional[float] = None
         self._compiled = {}
+        # target-bucket T -> (AOT-compiled micro step, flops/call); one entry
+        # per distinct padded-target shape (see compact_instances)
+        self._compiled_micro: dict[int, tuple] = {}
 
         self.rng = jax.random.PRNGKey(args.seed)
         self.params = None
@@ -429,12 +432,21 @@ class Trainer:
                 valid=padded_valid,
                 orig_sizes=None if batch.orig_sizes is None else padrep(batch.orig_sizes),
             )
+        mk, cl, vd = batch.mask_labels, batch.class_labels, batch.valid
+        if self.args.compact_instances:
+            # Criterion cost is linear in the padded slot count: slice the
+            # targets to the per-batch real need (power-of-two buckets bound
+            # the retrace count). Single-process only — gated above by the
+            # process_count()>1 early return.
+            from ..data.pipeline import compact_targets
+
+            mk, cl, vd = compact_targets(mk, cl, vd, self.args.instance_bucket_floor)
         put = lambda x: jax.device_put(jnp.asarray(x), self.data_sharding)
         return (
             put(batch.pixel_values),
-            put(batch.mask_labels),
-            put(batch.class_labels),
-            put(batch.valid),
+            put(mk),
+            put(cl),
+            put(vd),
         ), b
 
     # ------------------------------------------------------------------
@@ -529,37 +541,36 @@ class Trainer:
                 local_rows=local_rows,
             ):
                 (px, mk, cl, vd), _ = self._put(batch, global_b=self._global_train_batch)
-                if self._flos_per_micro_step is None:
-                    # AOT-compile the micro step once (fwd + criterion + bwd
-                    # [+ AdamW when ga==1]) and read the executable's flop
-                    # count; accumulated into `total_flos` like the reference's
-                    # all_results.json / trainer_state.json (HF Trainer
-                    # `total_flos`). The compiled object replaces the jitted fn
-                    # so this is the one and only compile of the step.
+                tkey = int(mk.shape[1])
+                if tkey not in self._compiled_micro:
+                    # AOT-compile the micro step per target-bucket shape (fwd +
+                    # criterion + bwd [+ AdamW when ga==1]) and read the
+                    # executable's flop count; accumulated into `total_flos`
+                    # like the reference's all_results.json / trainer_state.json
+                    # (HF Trainer `total_flos`). With compact_instances the
+                    # targets arrive at power-of-two bucket sizes, so this
+                    # caches a handful of executables (the compiled object is
+                    # used directly — the jit __call__ path is never taken).
                     micro_args = (
                         (self.params, self.opt_state, self.batch_stats, rng, px, mk, cl, vd)
                         if ga == 1
                         else (self.params, accum, self.batch_stats, rng, px, mk, cl, vd)
                     )
-                    compiled, self._flos_per_micro_step = _aot_step(
-                        train_step if ga == 1 else grad_step, micro_args
-                    )
-                    if compiled is not None:
-                        if ga == 1:
-                            train_step = compiled
-                        else:
-                            grad_step = compiled
+                    jitted = train_step if ga == 1 else grad_step
+                    compiled, flos = _aot_step(jitted, micro_args)
+                    self._compiled_micro[tkey] = (compiled if compiled is not None else jitted, flos)
+                micro_step, self._flos_per_micro_step = self._compiled_micro[tkey]
                 if args.profile_start_step is not None and self.global_step == args.profile_start_step:
                     jax.profiler.start_trace(os.path.join(args.output_dir, "profile"))
                 if ga == 1:
-                    self.params, self.opt_state, self.batch_stats, rng, loss, gnorm = train_step(
+                    self.params, self.opt_state, self.batch_stats, rng, loss, gnorm = micro_step(
                         self.params, self.opt_state, self.batch_stats, rng, px, mk, cl, vd
                     )
                     self.global_step += 1
                     self.total_flos += self._flos_per_micro_step
                     epoch_gnorm.append(gnorm)
                 else:
-                    accum, self.batch_stats, rng, loss = grad_step(
+                    accum, self.batch_stats, rng, loss = micro_step(
                         self.params, accum, self.batch_stats, rng, px, mk, cl, vd
                     )
                     micro_in_step += 1
@@ -683,6 +694,9 @@ class Trainer:
                 class_labels=batch.class_labels[s:e],
                 valid=batch.valid[s:e],
                 orig_sizes=None if batch.orig_sizes is None else batch.orig_sizes[s:e],
+                mask_labels_packed=None
+                if batch.mask_labels_packed is None
+                else batch.mask_labels_packed[s:e],
             )
         return self._put(batch, global_b=global_b)
 
@@ -710,13 +724,19 @@ class Trainer:
                 return False
             target_hw = sizes.pop()
         else:
-            target_hw = tuple(batch.pixel_values.shape[1:3])
+            # GT mask shape, not pixel_values: raw-frame (device_channels)
+            # batches carry source-size uint8 pixels, the preprocessed size
+            # lives in the labels (reference: target sizes are the GT shapes,
+            # model_essential_part.py:77-81)
+            target_hw = tuple(batch.mask_labels.shape[2:4])
 
         from jax.experimental import multihost_utils
 
-        gt_bool = np.asarray(batch.mask_labels).astype(bool)
-        gb, t, gh, gw = gt_bool.shape
-        gt_packed = np.packbits(gt_bool.reshape(gb, t, -1), axis=-1)
+        gb, t, gh, gw = np.shape(batch.mask_labels)
+        gt_packed = batch.mask_labels_packed
+        if gt_packed is None:
+            gt_bool = np.asarray(batch.mask_labels).astype(bool)
+            gt_packed = np.packbits(gt_bool.reshape(gb, t, -1), axis=-1)
         valid_all = np.asarray(batch.valid, bool)
 
         mask_by_dev = {s.device: s for s in mask_logits.addressable_shards}
@@ -758,6 +778,11 @@ class Trainer:
             first = next(dataset.batches(min(self._global_eval_batch, len(dataset))))
             self._init_state(first)
         eval_step = self._compiled.setdefault("eval", self._eval_step_fn())
+        if hasattr(dataset, "pack_gt"):
+            # batches arrive with pre-packed GT (built in the pipeline's
+            # worker threads, memoized per example) so the device-stats
+            # dispatch below never runs np.packbits on the critical path
+            dataset.pack_gt = True
         evaluator = Evaluator(self.id2label, threshold=0.0)
         losses = []
         t0 = time.time()
@@ -769,7 +794,12 @@ class Trainer:
             cls_logits, mask_logits, loss, sub, full, real_b = pending
             # Defer the scalar loss fetch (materialized after the loop): a
             # float() here costs one tunnel RTT per batch AND waits for the
-            # already-dispatched next forward to clear the device queue.
+            # already-dispatched next forward to clear the device queue. The
+            # D2H copy starts NOW (async), so by drain time every scalar has
+            # landed and the final float() conversions return immediately
+            # instead of paying one sequential RTT per batch.
+            if hasattr(loss, "copy_to_host_async"):
+                loss.copy_to_host_async()
             losses.append(loss)
             if jax.process_count() == 1:
                 # keep the logits ON DEVICE: post-processing jits over them
@@ -800,6 +830,9 @@ class Trainer:
                 orig_sizes=None
                 if batch.orig_sizes is None
                 else np.asarray(batch.orig_sizes[:real_b]),
+                mask_labels_packed=None
+                if batch.mask_labels_packed is None
+                else np.asarray(batch.mask_labels_packed[:real_b]),
             )
             if pending is not None:
                 n += flush(pending)
@@ -808,10 +841,10 @@ class Trainer:
             n += flush(pending)
         # Materialize the deferred work inside the timed region so
         # eval_samples_per_second stays honest: drain the evaluator's
-        # device-stats queue and fetch the per-batch loss scalars (one RTT
-        # total — they are all long since computed).
+        # device-stats queue and the per-batch loss scalars (whose async D2H
+        # copies were started at flush-append time — long since landed).
         evaluator.flush()
-        losses = [float(l) for l in losses]
+        losses = [float(l) for l in jax.device_get(losses)]
         runtime = time.time() - t0
         metrics = {prefix + "loss": float(np.mean(losses))}
         metrics.update(evaluator.compute(prefix=prefix))
