@@ -397,6 +397,293 @@ def convert_custom_mask2former(state_dict: dict, cfg) -> tuple[dict, dict]:
     return params, ({"pixel_level_module": plm_bs} if plm_bs else {})
 
 
+# ---------------------------------------------------------------------------
+# Flax -> HF export (inverse of the converters above).
+#
+# The reference's training artifact is an HF checkpoint directory any torch
+# stack can `from_pretrained` (reference finetuning.py:114-117 saves via the
+# HF Trainer; custom_model.py:45-53 reloads it). A model trained HERE must be
+# hand-backable to that ecosystem, so `export_hf_checkpoint` writes
+# config.json + model.safetensors in the reference layout. Round-trip
+# (HF -> flax -> HF) is pinned bit-exact and the exported weights are loaded
+# into the real torch model with forward parity in tests/test_hf_export.py.
+# ---------------------------------------------------------------------------
+
+
+def _np32(a) -> np.ndarray:
+    return np.asarray(a)
+
+
+def _x_dense(sd, prefix, p, bias=True):
+    sd[prefix + ".weight"] = _np32(p["kernel"]).T
+    if bias:
+        sd[prefix + ".bias"] = _np32(p["bias"])
+
+
+def _x_conv(sd, prefix, p):
+    sd[prefix + ".weight"] = _np32(p["kernel"]).transpose(3, 2, 0, 1)
+    if "bias" in p:
+        sd[prefix + ".bias"] = _np32(p["bias"])
+
+
+def _x_ln(sd, prefix, p):
+    sd[prefix + ".weight"] = _np32(p["scale"])
+    sd[prefix + ".bias"] = _np32(p["bias"])
+
+
+def _x_bn(sd, prefix, p, stats):
+    sd[prefix + ".weight"] = _np32(p["scale"])
+    sd[prefix + ".bias"] = _np32(p["bias"])
+    sd[prefix + ".running_mean"] = _np32(stats["mean"])
+    sd[prefix + ".running_var"] = _np32(stats["var"])
+    sd[prefix + ".num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def _x_mha(sd, prefix, p):
+    """q/k/v/out projections -> torch nn.MultiheadAttention in_proj layout."""
+    sd[prefix + ".in_proj_weight"] = np.concatenate(
+        [_np32(p[k]["kernel"]).T for k in ("q_proj", "k_proj", "v_proj")], axis=0
+    )
+    sd[prefix + ".in_proj_bias"] = np.concatenate(
+        [_np32(p[k]["bias"]) for k in ("q_proj", "k_proj", "v_proj")]
+    )
+    _x_dense(sd, prefix + ".out_proj", p["out_proj"])
+
+
+def export_swin_backbone(sd: dict, prefix: str, p: dict, depths) -> None:
+    _x_conv(sd, f"{prefix}.embeddings.patch_embeddings.projection", p["patch_embed"])
+    _x_ln(sd, f"{prefix}.embeddings.norm", p["patch_norm"])
+    for s, depth in enumerate(depths):
+        for b in range(depth):
+            bp = f"{prefix}.encoder.layers.{s}.blocks.{b}"
+            blk = p[f"stage{s}_block{b}"]
+            _x_ln(sd, f"{bp}.layernorm_before", blk["norm1"])
+            _x_ln(sd, f"{bp}.layernorm_after", blk["norm2"])
+            at = blk["attention"]
+            _x_dense(sd, f"{bp}.attention.self.query", at["query"])
+            _x_dense(sd, f"{bp}.attention.self.key", at["key"])
+            _x_dense(sd, f"{bp}.attention.self.value", at["value"])
+            _x_dense(sd, f"{bp}.attention.output.dense", at["proj"])
+            sd[f"{bp}.attention.self.relative_position_bias_table"] = _np32(
+                at["relative_position_bias_table"]
+            )
+            _x_dense(sd, f"{bp}.intermediate.dense", blk["mlp_fc1"])
+            _x_dense(sd, f"{bp}.output.dense", blk["mlp_fc2"])
+        if s < len(depths) - 1:
+            dp = f"{prefix}.encoder.layers.{s}.downsample"
+            _x_ln(sd, f"{dp}.norm", p[f"downsample{s}"]["norm"])
+            _x_dense(sd, f"{dp}.reduction", p[f"downsample{s}"]["reduction"], bias=False)
+        _x_ln(sd, f"{prefix}.hidden_states_norms.stage{s + 1}", p[f"out_norm{s}"])
+
+
+def export_pixel_decoder(sd: dict, prefix: str, p: dict, encoder_layers: int, num_fpn: int = 1) -> None:
+    sd[f"{prefix}.level_embed"] = _np32(p["level_embed"])
+    for i in range(3):
+        _x_conv(sd, f"{prefix}.input_projections.{i}.0", p[f"input_proj{i}_conv"])
+        _x_ln(sd, f"{prefix}.input_projections.{i}.1", p[f"input_proj{i}_norm"])
+    for li in range(encoder_layers):
+        lp, lyr = f"{prefix}.encoder.layers.{li}", p[f"layer{li}"]
+        for k in ("sampling_offsets", "attention_weights", "value_proj", "output_proj"):
+            _x_dense(sd, f"{lp}.self_attn.{k}", lyr["self_attn"][k])
+        _x_ln(sd, f"{lp}.self_attn_layer_norm", lyr["self_attn_layer_norm"])
+        _x_dense(sd, f"{lp}.fc1", lyr["fc1"])
+        _x_dense(sd, f"{lp}.fc2", lyr["fc2"])
+        _x_ln(sd, f"{lp}.final_layer_norm", lyr["final_layer_norm"])
+    for i in range(num_fpn):
+        _x_conv(sd, f"{prefix}.adapter_{i + 1}.0", p[f"adapter{i}_conv"])
+        _x_ln(sd, f"{prefix}.adapter_{i + 1}.1", p[f"adapter{i}_norm"])
+        _x_conv(sd, f"{prefix}.layer_{i + 1}.0", p[f"fpn{i}_conv"])
+        _x_ln(sd, f"{prefix}.layer_{i + 1}.1", p[f"fpn{i}_norm"])
+    _x_conv(sd, f"{prefix}.mask_projection", p["mask_projection"])
+
+
+def export_transformer_module(sd: dict, prefix: str, p: dict, decoder_layers: int) -> None:
+    sd[f"{prefix}.queries_embedder.weight"] = _np32(p["queries_embedder"])
+    sd[f"{prefix}.queries_features.weight"] = _np32(p["queries_features"])
+    sd[f"{prefix}.level_embed.weight"] = _np32(p["level_embed"])
+    _x_ln(sd, f"{prefix}.decoder.layernorm", p["decoder_layernorm"])
+    for i in range(3):
+        _x_dense(
+            sd,
+            f"{prefix}.decoder.mask_predictor.mask_embedder.{i}.0",
+            p["mask_predictor"][f"mask_embedder{i}"],
+        )
+    for li in range(decoder_layers - 1):
+        lp, lyr = f"{prefix}.decoder.layers.{li}", p[f"layer{li}"]
+        _x_mha(sd, f"{lp}.cross_attn", lyr["cross_attn"])
+        _x_ln(sd, f"{lp}.cross_attn_layer_norm", lyr["cross_attn_layer_norm"])
+        for k in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _x_dense(sd, f"{lp}.self_attn.{k}", lyr["self_attn"][k])
+        _x_ln(sd, f"{lp}.self_attn_layer_norm", lyr["self_attn_layer_norm"])
+        _x_dense(sd, f"{lp}.fc1", lyr["fc1"])
+        _x_dense(sd, f"{lp}.fc2", lyr["fc2"])
+        _x_ln(sd, f"{lp}.final_layer_norm", lyr["final_layer_norm"])
+
+
+def _export_fusion_modules(sd: dict, prefix: str, plm: dict, plm_bs: dict, cfg) -> None:
+    """Version-specific fusion modules -> the reference CustomMask2Former
+    attribute names (custom_model.py:56-141)."""
+    from ..versions import get as get_version
+
+    fusion = get_version(cfg.version).fusion
+    pfx = _p(prefix)
+    if fusion.dsam:
+        for k in range(3):
+            dsam = plm["dsam_cascade"][f"dsam{k}"]
+            for i in range(cfg.dsam_num_regions + 1):
+                _x_conv(sd, f"{pfx}dsam{k}.conv_layers.{i}", dsam[f"conv{i}"])
+            if "rgb_projection" in dsam:
+                _x_conv(sd, f"{pfx}dsam{k}.rgb_projection", dsam["rgb_projection"])
+    if fusion.ratio == "backbone":
+        for i, j in enumerate((0, 2, 4)):
+            _x_dense(sd, f"{pfx}ratio_predictor.fc_layers.{j}", plm["ratio_predictor"][f"fc{i}"])
+    elif fusion.ratio == "enhanced":
+        rp, rbs = plm["ratio_predictor"], plm_bs.get("ratio_predictor", {})
+        third = _np32(rp["scales_bn"]["scale"]).shape[0] // 3
+        for i in range(3):
+            _x_conv(sd, f"{pfx}ratio_predictor.scale{i + 1}_conv.0", rp[f"scale{i}_conv"])
+            sl = slice(i * third, (i + 1) * third)
+            bp = f"{pfx}ratio_predictor.scale{i + 1}_conv.1"
+            sd[bp + ".weight"] = _np32(rp["scales_bn"]["scale"])[sl]
+            sd[bp + ".bias"] = _np32(rp["scales_bn"]["bias"])[sl]
+            sd[bp + ".running_mean"] = _np32(rbs["scales_bn"]["mean"])[sl]
+            sd[bp + ".running_var"] = _np32(rbs["scales_bn"]["var"])[sl]
+            sd[bp + ".num_batches_tracked"] = np.asarray(0, np.int64)
+        _x_conv(sd, f"{pfx}ratio_predictor.feature_fusion.0", rp["fusion_conv"])
+        _x_bn(sd, f"{pfx}ratio_predictor.feature_fusion.1", rp["fusion_bn"], rbs["fusion_bn"])
+        _x_conv(sd, f"{pfx}ratio_predictor.attention.0", rp["attn_conv0"])
+        _x_conv(sd, f"{pfx}ratio_predictor.attention.2", rp["attn_conv1"])
+        for i, j in enumerate((0, 4)):
+            _x_conv(sd, f"{pfx}ratio_predictor.feature_extractor.{j}", rp[f"extract_conv{i}"])
+            _x_bn(
+                sd,
+                f"{pfx}ratio_predictor.feature_extractor.{j + 1}",
+                rp[f"extract_bn{i}"],
+                rbs[f"extract_bn{i}"],
+            )
+        for i, j in enumerate((0, 3, 6, 8)):
+            _x_dense(sd, f"{pfx}ratio_predictor.fc_layers.{j}", rp[f"fc{i}"])
+    if fusion.dggm is not None:
+        key, sub = (
+            ("depth_enhancement_layers", "enhance")
+            if fusion.dggm == "residual"
+            else ("fusion_layers", "fusion")
+        )
+        for i in range(4):
+            _x_conv(sd, f"{pfx}depth_gradient_injection.{key}.{i}.0", plm["dggm"][f"{sub}{i}"])
+    if fusion.feature_fuser:
+        for i in range(4):
+            _x_conv(sd, f"{pfx}feature_fuser.fuse_conv.{i}.0", plm["feature_fuser"][f"fuse{i}"])
+    if fusion.intrinsics_normals:
+        ip = plm["intrinsics_predictor"]
+        for i, j in enumerate((0, 2, 4)):
+            _x_conv(sd, f"{pfx}intrinsics_predictor.conv_backbone.{j}", ip[f"conv{i}"])
+            _x_dense(sd, f"{pfx}intrinsics_predictor.fc_layers.{j}", ip[f"fc{i}"])
+
+
+def export_state_dict(params: dict, batch_stats: dict, cfg) -> dict:
+    """Flax (params, batch_stats) -> reference torch state_dict
+    {name: np.ndarray} for CustomMask2FormerForUniversalSegmentation at
+    cfg.version (stock HF Mask2Former keys for version 0.0.0). Exact inverse
+    of convert_custom_mask2former / convert_mask2former; tensors keep their
+    dtype (cast f32 upstream if needed)."""
+    sd: dict[str, np.ndarray] = {}
+    plm = params["pixel_level_module"]
+    plm_bs = (batch_stats or {}).get("pixel_level_module", {})
+    export_swin_backbone(sd, "model.pixel_level_module.encoder", plm["encoder"], cfg.backbone.depths)
+    if "depth_encoder" in plm:
+        export_swin_backbone(
+            sd, "model.pixel_level_module.depth_encoder", plm["depth_encoder"], cfg.backbone.depths
+        )
+    export_pixel_decoder(
+        sd, "model.pixel_level_module.decoder", plm["pixel_decoder"], cfg.encoder_layers
+    )
+    _export_fusion_modules(sd, "model.pixel_level_module", plm, plm_bs, cfg)
+    tm = params["transformer_module"]
+    export_transformer_module(sd, "model.transformer_module", tm, cfg.decoder_layers)
+    _x_dense(sd, "class_predictor", tm["class_predictor"])
+    # HF registers the criterion's CE class-weight vector as a persistent
+    # buffer (modeling_mask2former Mask2FormerLoss.empty_weight); ours lives
+    # in ops/losses.py as config-derived math — reconstruct it for the torch
+    # state_dict.
+    sd["criterion.empty_weight"] = np.concatenate(
+        [np.ones((cfg.num_labels,), np.float32), np.asarray([cfg.no_object_weight], np.float32)]
+    )
+    return sd
+
+
+def hf_config_dict(cfg, id2label: dict | None = None) -> dict:
+    """ModelConfig -> HF Mask2FormerConfig JSON dict (inverse of
+    config_from_hf; serialized through the real transformers config class so
+    from_pretrained round-trips)."""
+    id2label = id2label or {i: str(i) for i in range(cfg.num_labels)}
+    bb = dict(
+        model_type="swin",
+        patch_size=cfg.backbone.patch_size,
+        embed_dim=cfg.backbone.embed_dim,
+        depths=list(cfg.backbone.depths),
+        num_heads=list(cfg.backbone.num_heads),
+        window_size=cfg.backbone.window_size,
+        mlp_ratio=cfg.backbone.mlp_ratio,
+        qkv_bias=cfg.backbone.qkv_bias,
+        drop_path_rate=cfg.backbone.drop_path_rate,
+        layer_norm_eps=cfg.backbone.layer_norm_eps,
+        out_features=["stage1", "stage2", "stage3", "stage4"],
+    )
+    core = dict(
+        model_type="mask2former",
+        architectures=["Mask2FormerForUniversalSegmentation"],
+        backbone_config=bb,
+        feature_size=cfg.feature_size,
+        mask_feature_size=cfg.mask_feature_size,
+        encoder_layers=cfg.encoder_layers,
+        encoder_feedforward_dim=cfg.encoder_feedforward_dim,
+        hidden_dim=cfg.hidden_dim,
+        num_queries=cfg.num_queries,
+        decoder_layers=cfg.decoder_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        dim_feedforward=cfg.dim_feedforward,
+        class_weight=cfg.class_weight,
+        mask_weight=cfg.mask_weight,
+        dice_weight=cfg.dice_weight,
+        no_object_weight=cfg.no_object_weight,
+        train_num_points=cfg.train_num_points,
+        oversample_ratio=cfg.oversample_ratio,
+        importance_sample_ratio=cfg.importance_sample_ratio,
+        use_auxiliary_loss=cfg.use_auxiliary_loss,
+        init_std=cfg.init_std,
+        init_xavier_std=cfg.init_xavier_std,
+        id2label={int(k): v for k, v in id2label.items()},
+        label2id={v: int(k) for k, v in id2label.items()},
+    )
+    try:  # serialize through transformers when available (exact field names)
+        from transformers import Mask2FormerConfig
+
+        return Mask2FormerConfig.from_dict(dict(core)).to_dict()
+    except Exception:  # pragma: no cover - transformers-less environments
+        return core
+
+
+def export_hf_checkpoint(params: dict, batch_stats: dict, cfg, out_dir: str, id2label=None) -> str:
+    """Write an HF checkpoint directory (config.json + model.safetensors) the
+    reference stack can `from_pretrained` (custom_model.py:45-53). Returns
+    out_dir. Also drops a `rgbdseg_version` key in config.json so the fusion
+    topology is reconstructible."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    sd = {k: np.ascontiguousarray(v) for k, v in export_state_dict(params, batch_stats, cfg).items()}
+    conf = hf_config_dict(cfg, id2label)
+    conf["rgbdseg_version"] = cfg.version
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(conf, f, indent=2, sort_keys=True, default=str)
+    from safetensors.numpy import save_file
+
+    save_file(sd, os.path.join(out_dir, "model.safetensors"), metadata={"format": "pt"})
+    return out_dir
+
+
 def convert_mask2former(state_dict: dict, cfg) -> dict:
     """Full HF Mask2FormerForUniversalSegmentation state_dict -> flax params."""
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
