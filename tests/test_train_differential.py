@@ -27,10 +27,13 @@ LayerNorm excluded, BN/GroupNorm scales INCLUDED, Swin's
 relative_position_bias_table excluded by HF's r"bias" regex), global-norm
 clipping, torch's UNBIASED BatchNorm running-var update (caught flax's
 biased update; see models.fusion.TorchBatchNorm), and the loss layer
-weighting across 6 coupled steps where any drift compounds.
+weighting across 20 coupled steps (flagship 0.4.0) / 12 steps (0.1.1
+dual-backbone + FeatureFuser + DSAM) where any drift compounds; plus the
+eval protocol — both stacks' final predictions post-processed by their own
+stacks and scored by the same in-repo mAP metric.
 
-Marked slow: ~6 torch CPU train steps + one jax CPU compile of the 0.4.0
-train step at embed_dim 96.
+Marked slow: 20 torch CPU train steps + jax CPU compiles of the train step
+at embed_dim 96, twice (one per version).
 """
 
 from __future__ import annotations
@@ -64,13 +67,17 @@ H = W = 64
 P = 16  # train_num_points
 S = int(P * 3.0)  # oversampled (48)
 R = P - int(0.75 * P)  # random remainder (4)
-N_STEPS = 6
+N_STEPS = 20  # coupled optimizer steps for the flagship differential (r4 #4)
 LR, WD = 1e-3, 0.05  # WD > 0 so the decay mask is actually exercised
-WARMUP_RATIO = 0.34  # ceil(6*0.34)=3 warmup steps; int() truncation would give 2
+WARMUP_RATIO = 0.34  # ceil-rounding sensitive: ceil(20*0.34)=7 (int() gives 6)
 VERSION = "0.4.0"
+# input channel count per exercised version (0.1.1 = RGB+depth dual-backbone
+# + FeatureFuser + DSAM — covers dual-Swin and fuser gradients the flagship
+# path never touches; reference custom_model.py:88-93)
+CHANNELS = {"0.4.0": 10, "0.1.1": 6}
 
 
-def _my_cfg() -> ModelConfig:
+def _my_cfg(version: str = VERSION) -> ModelConfig:
     # embed_dim must be 96: the reference's fusion modules hardcode the
     # Swin-T channel ladder (custom_model.py:127-137 DSAModule(96,192)...).
     return ModelConfig(
@@ -88,7 +95,7 @@ def _my_cfg() -> ModelConfig:
         num_attention_heads=4,
         dim_feedforward=64,
         train_num_points=P,
-        version=VERSION,
+        version=version,
     )
 
 
@@ -171,11 +178,11 @@ class _PatchedTorchRand:
         return t
 
 
-def _make_items():
+def _make_items(n_steps: int = N_STEPS, channels: int = 10):
     rs = np.random.RandomState(0)
     items = []
-    for i in range(N_STEPS * B):
-        px = rs.rand(10, H, W).astype(np.float32)  # CHW: RGB+depthRGB+grad+mask
+    for i in range(n_steps * B):
+        px = rs.rand(channels, H, W).astype(np.float32)  # CHW channel stack
         n = int(rs.randint(2, T))
         masks = np.zeros((n, H, W), np.float32)
         classes = rs.randint(0, L, (n,)).astype(np.int64)
@@ -206,11 +213,11 @@ class _TorchDS(torch.utils.data.Dataset):
         }
 
 
-def _run_torch(items, tmp_path):
+def _run_torch(items, tmp_path, version: str = VERSION):
     """Reference model + the actual HF Trainer; returns (initial state_dict,
-    final state_dict, per-step losses, captured batch order)."""
+    final state_dict, per-step losses, captured batch order, model)."""
     torch.manual_seed(0)
-    model = refcm.CustomMask2FormerForUniversalSegmentation(_hf_cfg(), version=VERSION)
+    model = refcm.CustomMask2FormerForUniversalSegmentation(_hf_cfg(), version=version)
     # The custom model replaces `self.model` AFTER super().__init__'s
     # post_init() ran (custom_model.py:49-53), so HF's _init_weights never
     # touches the replacement — in particular the pixel decoder's raw
@@ -273,35 +280,31 @@ def _run_torch(items, tmp_path):
     # scalar layerdrop probes (never acted on at layerdrop=0.0).
     assert all(s == () for s in patched.unmatched), patched.unmatched
     final_sd = {k: v.detach().clone() for k, v in model.state_dict().items()}
-    return init_sd, final_sd, step_losses, order
+    return init_sd, final_sd, step_losses, order, model
 
 
-def _run_ours(items, order, init_sd, tmp_path, monkeypatch):
+def _capture_batch(items, idxs) -> Batch:
+    px = np.stack([items[i]["pixel_values"].transpose(1, 2, 0) for i in idxs])
+    masks = np.zeros((B, T, H, W), np.float32)
+    classes = np.zeros((B, T), np.int32)
+    valid = np.zeros((B, T), bool)
+    for r, i in enumerate(idxs):
+        n = items[i]["mask_labels"].shape[0]
+        masks[r, :n] = items[i]["mask_labels"]
+        classes[r, :n] = items[i]["class_labels"]
+        valid[r, :n] = True
+    return Batch(
+        pixel_values=px, mask_labels=masks, class_labels=classes, valid=valid, orig_sizes=None
+    )
+
+
+def _run_ours(items, order, init_sd, tmp_path, monkeypatch, version: str = VERSION):
     """Our Trainer from the converted init weights on the captured batches."""
-    cfg = _my_cfg()
+    cfg = _my_cfg(version)
     sd_np = {k: v.numpy() for k, v in init_sd.items()}
     params, _ = hf_convert.convert_custom_mask2former(sd_np, cfg)
 
-    step_batches = []
-    for idxs in order:
-        px = np.stack([items[i]["pixel_values"].transpose(1, 2, 0) for i in idxs])
-        masks = np.zeros((B, T, H, W), np.float32)
-        classes = np.zeros((B, T), np.int32)
-        valid = np.zeros((B, T), bool)
-        for r, i in enumerate(idxs):
-            n = items[i]["mask_labels"].shape[0]
-            masks[r, :n] = items[i]["mask_labels"]
-            classes[r, :n] = items[i]["class_labels"]
-            valid[r, :n] = True
-        step_batches.append(
-            Batch(
-                pixel_values=px,
-                mask_labels=masks,
-                class_labels=classes,
-                valid=valid,
-                orig_sizes=None,
-            )
-        )
+    step_batches = [_capture_batch(items, idxs) for idxs in order]
 
     class _ListDS:
         """One captured global batch per 'epoch': num_train_epochs=N_STEPS
@@ -324,7 +327,7 @@ def _run_ours(items, order, init_sd, tmp_path, monkeypatch):
 
     args = TrainingArguments(
         output_dir=str(tmp_path / "ours"),
-        num_train_epochs=float(N_STEPS),
+        num_train_epochs=float(len(order)),
         per_device_train_batch_size=B,
         learning_rate=LR,
         weight_decay=WD,
@@ -354,20 +357,129 @@ def _flatten(tree, prefix=""):
     return out
 
 
-def test_training_loop_matches_reference(tmp_path, monkeypatch):
-    items = _make_items()
-    init_sd, final_sd, t_losses, order = _run_torch(items, tmp_path)
-    assert len(t_losses) == N_STEPS and len(order) == N_STEPS
+def _schedule_sum_lr(n_steps: int) -> float:
+    """Sum of the HF linear-warmup/linear-decay schedule over the run — the
+    Adam per-coordinate walk ceiling used by the final-param bound."""
+    import math
 
-    tr, j_losses = _run_ours(items, order, init_sd, tmp_path, monkeypatch)
-    assert len(j_losses) == N_STEPS
+    warm = math.ceil(WARMUP_RATIO * n_steps)
+    return LR * sum(
+        (s / warm) if s < warm else (n_steps - s) / max(n_steps - warm, 1)
+        for s in range(n_steps)
+    )
+
+
+def _map_score_ours(tr, batch, cfg):
+    """Score OUR model's predictions on `batch` with the in-repo metric."""
+    import jax
+    import jax.numpy as jnp_
+
+    from rgbdseg_tpu.inference.postprocess import post_process_instance_segmentation
+    from rgbdseg_tpu.models.mask2former import Mask2FormerRGBD
+
+    m = Mask2FormerRGBD(cfg)
+    variables = {"params": tr.params}
+    bs = jax.device_get(tr.batch_stats)
+    if jax.tree_util.tree_leaves(bs):
+        variables["batch_stats"] = bs
+    out = jax.jit(lambda v, x: m.apply(v, x, deterministic=True))(
+        variables, jnp_.asarray(batch.pixel_values)
+    )
+    results = post_process_instance_segmentation(
+        np.asarray(out.class_queries_logits),
+        np.asarray(out.masks_queries_logits),
+        threshold=0.0,
+        target_sizes=[(H, W)] * B,
+        return_binary_maps=True,
+    )
+    return _score_results(results, batch)
+
+
+def _score_results(results, batch):
+    from rgbdseg_tpu.train.map_metric import MeanAveragePrecision
+
+    metric = MeanAveragePrecision(class_metrics=False)
+    preds, targets = [], []
+    for i, res in enumerate(results):
+        info = res["segments_info"]
+        preds.append(
+            {
+                "scores": np.asarray([s["score"] for s in info], np.float32),
+                "labels": np.asarray([s["label_id"] for s in info], np.int64),
+                "masks": np.asarray(res["segmentation"]).astype(bool),
+            }
+        )
+        valid = batch.valid[i]
+        targets.append(
+            {
+                "labels": batch.class_labels[i][valid].astype(np.int64),
+                "masks": batch.mask_labels[i][valid].astype(bool),
+            }
+        )
+    metric.update(preds, targets)
+    return float(metric.compute()["map"])
+
+
+def _map_score_torch(model, batch):
+    """Score the TORCH model's predictions (post-processed by the reference's
+    own HF image processor, model_essential_part.py:113-157 protocol) with
+    the same in-repo metric."""
+    from transformers import Mask2FormerImageProcessor
+
+    model.eval()
+    with torch.no_grad():
+        out = model(torch.from_numpy(batch.pixel_values.transpose(0, 3, 1, 2)))
+    proc = Mask2FormerImageProcessor()
+    results = proc.post_process_instance_segmentation(
+        out, threshold=0.0, target_sizes=[(H, W)] * B, return_binary_maps=True
+    )
+    conv = [
+        {
+            "segments_info": r["segments_info"],
+            "segmentation": r["segmentation"].numpy(),
+        }
+        for r in results
+    ]
+    return _score_results(conv, batch)
+
+
+@pytest.mark.parametrize(
+    "version,n_steps",
+    [
+        ("0.4.0", N_STEPS),  # flagship, 20 coupled steps
+        ("0.1.1", 12),  # dual-backbone + FeatureFuser + DSAM training paths
+    ],
+)
+def test_training_loop_matches_reference(tmp_path, monkeypatch, version, n_steps):
+    items = _make_items(n_steps, CHANNELS[version])
+    init_sd, final_sd, t_losses, order, t_model = _run_torch(items, tmp_path, version)
+    assert len(t_losses) == n_steps and len(order) == n_steps
+
+    tr, j_losses = _run_ours(items, order, init_sd, tmp_path, monkeypatch, version)
+    assert len(j_losses) == n_steps
 
     # Per-step losses: fwd parity at this scale is O(1e-4) relative at step 0
     # and drifts as Adam's sign-like steps amplify f32 gradient noise on
-    # near-zero-gradient coordinates; measured trajectory stays within 2.5e-3
-    # relative over 6 steps (both orderings of this box's runs).
+    # near-zero-gradient coordinates — the per-coordinate walk-apart ceiling
+    # is 2*sum(lr_t) (see below), and its effect on the LOSS compounds over
+    # the horizon. Measured profile (2026-08-21, this box): tight (<2e-3 rel)
+    # through step 5, then growing to a worst of ~4.3e-2 by step 15 of the
+    # 20-step 0.4.0 run — consistent with ANY two Adam runs separated by one
+    # ulp, not a semantics gap. The envelope below (5e-3 early, 6e-2 late)
+    # still catches semantics bugs: a wrong decay mask / schedule / clipping
+    # moves the loss far beyond it within a few steps (removing the decay-
+    # mask fix was measured to trip the 6-step bound in r4).
+    # The sharp late-horizon checks are the final-PARAM Adam ceiling and the
+    # scored-mAP comparison, not the loss trajectory.
     for step, (ours, ref) in enumerate(zip(j_losses, t_losses)):
-        assert abs(ours - ref) < 5e-3 * max(1.0, abs(ref)), (step, ours, ref, t_losses, j_losses)
+        bound = 5e-3 if step < 6 else 6e-2
+        assert abs(ours - ref) < bound * max(1.0, abs(ref)), (
+            step,
+            ours,
+            ref,
+            t_losses,
+            j_losses,
+        )
 
     # Final parameters: convert the torch side's trained weights and compare
     # leaf by leaf against our trained masters. The bound is the Adam
@@ -378,10 +490,10 @@ def test_training_loop_matches_reference(tmp_path, monkeypatch):
     # two Adam runs differing by one ulp, not a semantics gap. Semantics bugs
     # this still catches: a wrong decay mask / schedule / clipping moves
     # every coordinate of the affected tensors beyond the ceiling within a
-    # few steps (removing the decay-mask fix trips it). Measured profile:
-    # max 3.8e-3, median 1.5e-4 against sum_lr = 3e-3.
-    sum_lr = LR * sum(min(s / 3, 1.0) if s < 3 else (6 - s) / 3 for s in range(N_STEPS))
-    cfg = _my_cfg()
+    # few steps (removing the decay-mask fix trips it). Measured profile at
+    # 6 steps: max 3.8e-3, median 1.5e-4 against sum_lr = 3e-3.
+    sum_lr = _schedule_sum_lr(n_steps)
+    cfg = _my_cfg(version)
     ref_params, ref_bs = hf_convert.convert_custom_mask2former(
         {k: v.numpy() for k, v in final_sd.items()}, cfg
     )
@@ -394,7 +506,9 @@ def test_training_loop_matches_reference(tmp_path, monkeypatch):
         [float(np.max(np.abs(ours_flat[k] - ref_flat[k]))) for k in sorted(ref_flat)]
     )
     assert diffs.max() < 2.0 * sum_lr, (diffs.max(), sum_lr)
-    assert np.median(diffs) < 5e-4, float(np.median(diffs))
+    # the typical (median) coordinate walks apart far slower than the
+    # ceiling — measured 5% of sum_lr at 6 steps, 11% at 20 steps
+    assert np.median(diffs) < 0.2 * sum_lr, (float(np.median(diffs)), sum_lr)
 
     # BatchNorm running stats followed torch's (unbiased-var) update chain.
     if ref_bs:
@@ -406,17 +520,31 @@ def test_training_loop_matches_reference(tmp_path, monkeypatch):
         )
         assert worst_bs[0] < 5e-3, worst_bs
 
+    # Eval-protocol comparison (r4 #4): post-process BOTH stacks' final
+    # predictions (ours: inference/postprocess; torch: the reference's own HF
+    # image processor) on the same batch and score them with the SAME
+    # in-repo metric (itself differentially pinned against the COCOeval
+    # oracle in test_map_differential.py). The two trained models are
+    # 2*sum_lr-close, so their scored mAP must agree tightly — this closes
+    # the train -> predict -> score loop end to end.
+    eval_batch = _capture_batch(items, list(range(B)))
+    map_ours = _map_score_ours(tr, eval_batch, cfg)
+    map_torch = _map_score_torch(t_model, eval_batch)
+    assert abs(map_ours - map_torch) < 0.02, (map_ours, map_torch)
 
-def test_step0_gradients_match_reference(tmp_path, monkeypatch):
+
+@pytest.mark.parametrize("version", ["0.4.0", "0.1.1"])
+def test_step0_gradients_match_reference(tmp_path, monkeypatch, version):
     """Amplification-free backward differential: one forward+backward from
     identical init on an identical batch, comparing the FULL gradient trees
     (every conversion is an index permutation / reshape / concat, so torch
     grads convert through the same weight mapping). This pins the backward
     pass itself; the loop test above then attributes any trajectory gap to
-    optimizer semantics rather than gradients."""
-    items = _make_items()
+    optimizer semantics rather than gradients. 0.1.1 adds the dual-Swin
+    depth encoder + FeatureFuser gradients (reference custom_model.py:88-93)."""
+    items = _make_items(1, CHANNELS[version])
     torch.manual_seed(0)
-    model = refcm.CustomMask2FormerForUniversalSegmentation(_hf_cfg(), version=VERSION)
+    model = refcm.CustomMask2FormerForUniversalSegmentation(_hf_cfg(), version=version)
     with torch.no_grad():
         model.model.pixel_level_module.decoder.level_embed.zero_()
     model.train()
@@ -446,14 +574,16 @@ def test_step0_gradients_match_reference(tmp_path, monkeypatch):
     from rgbdseg_tpu.models.mask2former import Mask2FormerRGBD
     from rgbdseg_tpu.ops.losses import mask2former_loss
 
-    cfg = _my_cfg()
+    cfg = _my_cfg(version)
     g_ref, _ = hf_convert.convert_custom_mask2former(gsd, cfg)
     init_params, _ = hf_convert.convert_custom_mask2former(
         {k: v.detach().numpy() for k, v in model.state_dict().items()}, cfg
     )
     monkeypatch.setattr(losses, "_uniform", lambda rng, shape: jnp.asarray(_coords(shape)))
     m = Mask2FormerRGBD(cfg)
-    variables = jax.jit(m.init)({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, H, W, 10), jnp.float32))
+    variables = jax.jit(m.init)(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, H, W, CHANNELS[version]), jnp.float32)
+    )
     bs0 = variables.get("batch_stats", {})
     pxj = jnp.asarray(np.stack([items[i]["pixel_values"].transpose(1, 2, 0) for i in idxs]))
     masks = np.zeros((B, T, H, W), np.float32)
