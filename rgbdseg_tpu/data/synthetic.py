@@ -26,7 +26,9 @@ def _draw_scene(rng: np.random.RandomState, h: int, w: int, num_objects: int):
         inst_id = i + 1
         sem_id = rng.randint(1, 3)  # classes 1..2 (0 = background)
         color = rng.randint(80, 255, size=3).tolist()
-        obj_depth = int(40 + 40 * i + rng.randint(0, 10))
+        # clamp below the 200 background so dense scenes (10+ objects) stay
+        # valid uint8 and every object remains nearer than the background
+        obj_depth = int(min(40 + 40 * i + rng.randint(0, 10), 195))
         cx, cy = rng.randint(w // 6, 5 * w // 6), rng.randint(h // 6, 5 * h // 6)
         r = rng.randint(min(h, w) // 10, min(h, w) // 5)
         shape = rng.randint(0, 2)
