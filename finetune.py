@@ -59,17 +59,53 @@ def main(argv=None):
     ):
         from rgbdseg_tpu.utils.hf_convert import load_hf_checkpoint
 
-        hf_cfg, pretrained = load_hf_checkpoint(args.model_name_or_path, version=args.version)
-        cfg = hf_cfg.replace(num_labels=len(label2id), version=args.version)
-        logger.info("loaded pretrained HF checkpoint from %s", args.model_name_or_path)
+        hf_cfg, pretrained, pretrained_bs = load_hf_checkpoint(
+            args.model_name_or_path, version=args.version, with_batch_stats=True
+        )
+        # load_hf_checkpoint resolved the version: a custom export's own
+        # rgbdseg_version tag wins over the CLI flag, a stock trunk keeps it
+        cfg = hf_cfg.replace(num_labels=len(label2id))
+        logger.info(
+            "loaded pretrained HF checkpoint from %s (version %s)", args.model_name_or_path, cfg.version
+        )
+    else:
+        pretrained_bs = None
 
-    trainer = Trainer(cfg, training_args, train_ds, valid_ds, id2label, pretrained_params=pretrained)
+    trainer = Trainer(
+        cfg,
+        training_args,
+        train_ds,
+        valid_ds,
+        id2label,
+        pretrained_params=pretrained,
+        pretrained_batch_stats=pretrained_bs,
+    )
 
     if training_args.do_train:
         metrics = trainer.train(resume_from_checkpoint=training_args.resume_from_checkpoint or last_checkpoint)
         metrics["train_samples"] = len(train_ds)
         save_metrics(training_args.output_dir, "train", metrics)
         trainer.save_state()
+        import jax as _jax
+
+        if _jax.process_index() == 0:
+            # The reference's training artifact is an HF checkpoint directory
+            # at output_dir (finetuning.py:114-117 Trainer.save_model) that
+            # its torch stack reloads via from_pretrained
+            # (custom_model.py:45-53). Write the same artifact next to the
+            # orbax checkpoints: config.json + model.safetensors in the
+            # reference's key layout (round-trip pinned in
+            # tests/test_hf_export.py).
+            from rgbdseg_tpu.utils.hf_convert import export_hf_checkpoint
+
+            export_hf_checkpoint(
+                _jax.device_get(trainer.params),
+                _jax.device_get(trainer.batch_stats),
+                cfg,
+                training_args.output_dir,
+                id2label=id2label,
+            )
+            logger.info("HF checkpoint exported to %s", training_args.output_dir)
 
     if training_args.do_eval:
         outputs, metrics = trainer.predict(valid_ds)

@@ -69,14 +69,18 @@ def main():
 
     import jax
 
-    hf_params = None
+    hf_params, hf_bs = None, {}
     if args.hf_checkpoint:
         from rgbdseg_tpu.utils.hf_convert import load_hf_checkpoint
 
-        cfg, hf_params = load_hf_checkpoint(args.hf_checkpoint, version=args.version)
+        # custom exports (finetune.py writes one at output_dir) carry their
+        # fusion weights + BN stats and their own version tag
+        cfg, hf_params, hf_bs = load_hf_checkpoint(
+            args.hf_checkpoint, version=args.version, with_batch_stats=True
+        )
 
     model = Mask2FormerRGBD(cfg)
-    dummy_ch = __import__("rgbdseg_tpu.versions", fromlist=["get"]).get(args.version).channels.total
+    dummy_ch = __import__("rgbdseg_tpu.versions", fromlist=["get"]).get(cfg.version).channels.total
     import jax.numpy as jnp
 
     variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 64, 64, dummy_ch)))
@@ -92,6 +96,8 @@ def main():
         params, skipped = graft(flax.core.unfreeze(params), hf_params)
         for s in skipped:
             print(f"skipped pretrained weight (shape mismatch): {s}")
+        if hf_bs:
+            batch_stats, _ = graft(flax.core.unfreeze(batch_stats), hf_bs)
     if args.checkpoint:
         # partial restore: training checkpoints also hold opt_state + the
         # carried RNG stream, which inference neither needs nor knows the

@@ -87,10 +87,12 @@ class Trainer:
         eval_dataset=None,
         id2label: Optional[dict] = None,
         pretrained_params: Optional[dict] = None,
+        pretrained_batch_stats: Optional[dict] = None,
     ):
         self.cfg = cfg
         self.args = args
         self._pretrained_params = pretrained_params
+        self._pretrained_batch_stats = pretrained_batch_stats
         self.train_dataset = train_dataset
         self.eval_dataset = eval_dataset
         self.id2label = id2label or {}
@@ -143,7 +145,13 @@ class Trainer:
             self.param_sharding = jax.tree.map(lambda a: a.sharding, self.params)
         else:
             self.params = jax.device_put(params, self.repl)
-        self.batch_stats = jax.device_put(variables.get("batch_stats", {}), self.repl)
+        batch_stats = variables.get("batch_stats", {})
+        if self._pretrained_batch_stats:
+            from flax.core import unfreeze
+            from ..utils.hf_convert import graft
+
+            batch_stats, _ = graft(unfreeze(batch_stats), self._pretrained_batch_stats)
+        self.batch_stats = jax.device_put(batch_stats, self.repl)
 
         steps_per_epoch = self._steps_per_epoch()
         total_steps = max(1, int(steps_per_epoch * self.args.num_train_epochs))

@@ -183,20 +183,29 @@ def config_from_hf(hf_config: dict):
     )
 
 
-def load_hf_checkpoint(model_dir: str, version: str = "0.0.0"):
+def load_hf_checkpoint(model_dir: str, version: str = "0.0.0", with_batch_stats: bool = False):
     """Load an HF Mask2Former checkpoint directory (config.json +
-    model.safetensors or pytorch_model.bin) -> (ModelConfig, flax params).
+    model.safetensors or pytorch_model.bin) -> (ModelConfig, flax params)
+    [, batch_stats when `with_batch_stats`].
 
-    The returned params cover the shared Mask2Former trunk; version-specific
-    fusion modules (DGGM/DSAM/...) are NOT present in stock HF checkpoints and
-    must be initialized fresh (the reference does the same: its custom modules
-    are seeded at construction, custom_model.py:18-25,52)."""
+    Stock HF checkpoints cover the shared Mask2Former trunk; version-specific
+    fusion modules (DGGM/DSAM/...) are then initialized fresh (the reference
+    does the same: its custom modules are seeded at construction,
+    custom_model.py:18-25,52). Directories written by `export_hf_checkpoint`
+    (or a torch-side save of the reference's custom model) carry the fusion
+    weights under `model.pixel_level_module.*` — detected here (via the
+    config's `rgbdseg_version` tag or the presence of custom keys) and
+    converted through `convert_custom_mask2former`, so a full custom model
+    round-trips including BatchNorm running stats."""
     import json
     import os
 
     with open(os.path.join(model_dir, "config.json")) as f:
         hf_config = json.load(f)
-    cfg = config_from_hf(hf_config).replace(version=version)
+    version = hf_config.get("rgbdseg_version", version)
+    cfg = config_from_hf(hf_config).replace(
+        version=version, **hf_config.get("rgbdseg_extras", {})
+    )
 
     st_path = os.path.join(model_dir, "model.safetensors")
     if os.path.exists(st_path):
@@ -212,7 +221,19 @@ def load_hf_checkpoint(model_dir: str, version: str = "0.0.0"):
                 os.path.join(model_dir, "pytorch_model.bin"), map_location="cpu", weights_only=True
             ).items()
         }
-    return cfg, convert_mask2former(sd, cfg)
+    custom_prefixes = (
+        "model.pixel_level_module.dsam",
+        "model.pixel_level_module.ratio_predictor",
+        "model.pixel_level_module.depth_gradient_injection",
+        "model.pixel_level_module.feature_fuser",
+        "model.pixel_level_module.depth_encoder",
+        "model.pixel_level_module.intrinsics_predictor",
+    )
+    if version != "0.0.0" and any(k.startswith(custom_prefixes) for k in sd):
+        params, bs = convert_custom_mask2former(sd, cfg)
+    else:
+        params, bs = convert_mask2former(sd, cfg), {}
+    return (cfg, params, bs) if with_batch_stats else (cfg, params)
 
 
 def graft(init_params: dict, pretrained: dict, path: str = "") -> tuple[dict, list[str]]:
@@ -676,6 +697,15 @@ def export_hf_checkpoint(params: dict, batch_stats: dict, cfg, out_dir: str, id2
     sd = {k: np.ascontiguousarray(v) for k, v in export_state_dict(params, batch_stats, cfg).items()}
     conf = hf_config_dict(cfg, id2label)
     conf["rgbdseg_version"] = cfg.version
+    # DSAM runtime knobs have no HF-config slot; carry them so a reload
+    # reconstructs the exact ModelConfig (harmless extras for torch, which
+    # ignores unknown config keys)
+    conf["rgbdseg_extras"] = {
+        "dsam_num_regions": cfg.dsam_num_regions,
+        "dsam_hist_bins": cfg.dsam_hist_bins,
+        "dsam_prominence": cfg.dsam_prominence,
+        "dsam_default_ratio": cfg.dsam_default_ratio,
+    }
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump(conf, f, indent=2, sort_keys=True, default=str)
     from safetensors.numpy import save_file

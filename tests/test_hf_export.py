@@ -125,6 +125,44 @@ def test_exported_checkpoint_from_pretrained(hf_small, tmp_path):
     )
 
 
+def test_export_then_load_custom_roundtrip(tmp_path):
+    """A model trained HERE, exported, reloads through load_hf_checkpoint with
+    every leaf (params AND BatchNorm running stats) bit-exact and the version
+    + DSAM runtime fields reconstructed — the finetune.py artifact path
+    (export at output_dir, reload via --model_name_or_path/--hf_checkpoint)."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    from rgbdseg_tpu.models.mask2former import Mask2FormerRGBD
+
+    cfg = ModelConfig.tiny(num_labels=3, version="0.4.0")
+    model = Mask2FormerRGBD(cfg)
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 64, 64, 10), jnp.float32)
+    )
+    params = flax.core.unfreeze(variables["params"])
+    bs = flax.core.unfreeze(variables.get("batch_stats", {}))
+    d = str(tmp_path / "exp040")
+    hf_convert.export_hf_checkpoint(params, bs, cfg, d, id2label={0: "bg", 1: "a", 2: "b"})
+
+    cfg2, params2, bs2 = hf_convert.load_hf_checkpoint(d, with_batch_stats=True)
+    assert cfg2.version == "0.4.0"
+    assert cfg2.dsam_hist_bins == cfg.dsam_hist_bins  # rgbdseg_extras round-trip
+    import numpy as _np
+
+    a = dict(jax.tree_util.tree_leaves_with_path(params))
+    b = dict(jax.tree_util.tree_leaves_with_path(params2))
+    assert set(a) == set(b)
+    for path in a:
+        _np.testing.assert_array_equal(_np.asarray(a[path]), _np.asarray(b[path]), err_msg=str(path))
+    sa = dict(jax.tree_util.tree_leaves_with_path(bs))
+    sb = dict(jax.tree_util.tree_leaves_with_path(bs2))
+    assert set(sa) == set(sb) and sa  # BN stats present and matching
+    for path in sa:
+        _np.testing.assert_array_equal(_np.asarray(sa[path]), _np.asarray(sb[path]), err_msg=str(path))
+
+
 # ---------------------------------------------------------------------------
 # Reference custom versions: the fusion channel counts are hardcoded to
 # embed_dim=96 in the reference (custom_model.py:66-141), so the round-trip
