@@ -161,14 +161,17 @@ def _mfu_fields(flops_per_call: float, images_per_sec: float, batch: int) -> dic
     return out
 
 
-def _build_train_state(cfg, h, w, bf16: bool):
+def _build_train_state(cfg, h, w, bf16: bool, preprocess=None):
     """Model init + AdamW + the full train-step closure (fwd + criterion +
     bwd + optimizer), shared by the synthetic-input and disk-fed train
-    benches. Returns (step_fn, params, opt_state, batch_stats)."""
+    benches. uint8 inputs are packed raw frames: the channel stack is built
+    on device inside the step (data/device_preprocess.py), like the Trainer.
+    Returns (step_fn, params, opt_state, batch_stats)."""
     import optax
 
     from rgbdseg_tpu.models.mask2former import Mask2FormerRGBD
     from rgbdseg_tpu.ops.losses import mask2former_loss
+    from rgbdseg_tpu.versions import get as get_version
 
     model = Mask2FormerRGBD(cfg)
     variables = jax.jit(model.init)(
@@ -177,8 +180,14 @@ def _build_train_state(cfg, h, w, bf16: bool):
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
     tx = optax.adamw(1e-4)
     opt_state = tx.init(params)
+    map_fn_name = get_version(cfg.version).map_fn
 
     def train_step(params, opt_state, batch_stats, px, masks, classes, valid):
+        if px.dtype == jnp.uint8:
+            from rgbdseg_tpu.data.device_preprocess import build_from_packed
+
+            px = build_from_packed(map_fn_name, px, preprocess)
+
         def loss_fn(p):
             pc = jax.tree.map(lambda a: a.astype(jnp.bfloat16), p) if bf16 else p
             out, mut = model.apply(
@@ -416,8 +425,16 @@ def bench_pipeline():
         )
     records = load_meta(os.path.join(root, "train.json"), root)[:n]
     pp = PreprocessConfig(height=h, width=w)
+    # production default: packed raw uint8 frames (1.8 MB/img over the link,
+    # channels built on device inside the train step) — BENCH_DEVICE_CHANNELS=0
+    # restores the host-built float stack (12.3 MB/img) for A/B
+    dev_ch = os.environ.get("BENCH_DEVICE_CHANNELS", "1") == "1"
     ds = SegmentationDataset(
-        records, "0.4.0", pp, max_instances=int(os.environ.get("BENCH_T", "20"))
+        records,
+        "0.4.0",
+        pp,
+        max_instances=int(os.environ.get("BENCH_T", "20")),
+        device_channels=dev_ch,
     )
     workers = int(os.environ.get("BENCH_WORKERS", "4"))
 
@@ -432,7 +449,7 @@ def bench_pipeline():
 
     cfg = ModelConfig(num_labels=40, version="0.4.0")
     step, params, opt_state, batch_stats = _build_train_state(
-        cfg, h, w, os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16"
+        cfg, h, w, os.environ.get("BENCH_DTYPE", "bfloat16") == "bfloat16", preprocess=pp
     )
 
     def put(b):
@@ -462,7 +479,10 @@ def bench_pipeline():
     dt = time.perf_counter() - t0
 
     images_per_sec = c / dt
-    input_mb = batch * h * w * 10 * 4 / 1e6
+    # bytes/img over the link: packed raw uint8 (6 B/px for 0.4.0) when
+    # device_channels engaged, else the host-built f32 10-channel stack
+    bytes_per_img = h * w * (6 if ds.device_channels else 10 * 4)
+    input_mb = batch * bytes_per_img / 1e6
     return {
         "metric": "NYUv2 640x480 train images/sec fed from the REAL disk pipeline (v0.4.0)",
         "value": round(images_per_sec, 3),
@@ -471,6 +491,7 @@ def bench_pipeline():
         "pipeline_cold_img_s": round(cold, 2),
         "pipeline_cached_img_s": round(cached, 2),
         "upload_bound_img_s": round(batch * 37.0 / input_mb, 2),
+        "device_channels": ds.device_channels,
         "host_cores": os.cpu_count(),
     }
 

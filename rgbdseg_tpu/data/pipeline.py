@@ -402,16 +402,19 @@ def build_datasets(args) -> tuple["SegmentationDataset", "SegmentationDataset", 
         do_reduce_labels=args.do_reduce_labels,
         ignore_index=args.ignore_index,
     )
+    device_channels = bool(getattr(args, "device_channels", False))
     train = SegmentationDataset(
         load_meta(os.path.join(args.root_path, args.train_json_path), args.root_path),
         args.version,
         pp,
         max_instances=args.max_instances,
+        device_channels=device_channels,
     )
     valid = SegmentationDataset(
         load_meta(os.path.join(args.root_path, args.valid_json_path), args.root_path),
         args.version,
         pp,
         max_instances=args.max_instances,
+        device_channels=device_channels,
     )
     return train, valid, label2id, id2label

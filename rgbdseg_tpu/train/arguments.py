@@ -26,6 +26,13 @@ class Arguments:
     do_reduce_labels: bool = False
     ignore_index: Optional[int] = None
     max_instances: int = 20
+    # Ship PACKED RAW uint8 frames (3-9 B/px) and build the float channel
+    # stack on device inside the compiled train/eval steps, instead of
+    # host-building and uploading 12-40 B/px float stacks. Bit-exact with the
+    # host builders (data/device_preprocess.py + ops/resize_exact.py);
+    # SegmentationDataset auto-disables it for unsupported layouts,
+    # augmentation transforms, or non-uniform frame sizes.
+    device_channels: bool = True
     # model
     model_name_or_path: Optional[str] = None  # optional checkpoint to load
     version: str = "0.0.0"

@@ -126,6 +126,14 @@ class Trainer:
         rng, init_rng = jax.random.split(self.rng)
         self.rng = rng
         x = jnp.asarray(sample_batch.pixel_values[:1])
+        if x.dtype == jnp.uint8:
+            # packed raw frames (device_channels mode): init only needs the
+            # BUILT stack's shape — preprocessed spatial size (the GT labels'
+            # shape) x the version's channel total
+            from ..versions import get as get_version
+
+            h, w = sample_batch.mask_labels.shape[2:4]
+            x = jnp.zeros((1, h, w, get_version(self.cfg.version).channels.total), jnp.float32)
         # jit the init: eager init dispatches thousands of tiny ops (slow over
         # a remote-TPU tunnel); one compiled program instead.
         variables = jax.jit(self.model.init)({"params": init_rng}, x)
@@ -224,8 +232,24 @@ class Trainer:
         batch arrays) -> ((loss, (loss_dict, new_batch_stats)), grads)."""
         model, cfg = self.model, self.cfg
         has_bn = bool(jax.tree_util.tree_leaves(self.batch_stats))
+        from ..versions import get as get_version
+
+        map_fn_name = get_version(cfg.version).map_fn
+        pp = getattr(self.train_dataset, "preprocess", None) or getattr(
+            self.eval_dataset, "preprocess", None
+        )
 
         def compute(params, batch_stats, drop_rng, loss_rng, pixel_values, masks, classes, valid):
+            if pixel_values.dtype == jnp.uint8:
+                # packed raw frames (SegmentationDataset device_channels
+                # mode): the float channel stack is built on device inside
+                # the compiled step — bit-exact with the host builders
+                # (data/device_preprocess.py), and the host->device transfer
+                # shrinks from 12-40 B/px to 3-9. Same path the eval step
+                # takes; exactness means training math is unchanged.
+                from ..data.device_preprocess import build_from_packed
+
+                pixel_values = build_from_packed(map_fn_name, pixel_values, pp)
             pixel_values = self._cast_bf16(pixel_values)
 
             def loss_fn(p):

@@ -228,6 +228,8 @@ class TestDevicePreprocess:
         np.testing.assert_allclose(dev_pix, host_pix, atol=1e-6, rtol=1e-6)
 
 
+@pytest.mark.slow  # double predictor compile (~74 s); the same wiring incl.
+# on-device resize is covered fast by test_predictor_fast_path_handles_source_resize
 def test_predictor_device_preprocess_matches_host(tmp_path):
     """Predictor.predict_example's uint8 device-preprocess fast path must give
     the same instances as the host channel-builder fallback (forced via an

@@ -81,7 +81,13 @@ def test_loss_and_gradients():
 
 @pytest.mark.parametrize(
     "env",
-    [{"RGBDSEG_TENT_SEPARABLE": "0"}, {"RGBDSEG_REMAT": "dots"}, {"RGBDSEG_REMAT": "0"}],
+    [
+        # the fused-P twin compiles a second full criterion+backward (~120 s
+        # on this 1-core box) — slow tier per the fast-suite budget
+        pytest.param({"RGBDSEG_TENT_SEPARABLE": "0"}, marks=pytest.mark.slow),
+        {"RGBDSEG_REMAT": "dots"},
+        {"RGBDSEG_REMAT": "0"},
+    ],
 )
 def test_perf_ab_variants_match_default(env, monkeypatch):
     """The env-gated A/B formulations (fused-P tent sampling — the non-default
@@ -148,6 +154,7 @@ def test_bn_fold_and_conv_twin_match_default(env, monkeypatch):
     )
 
 
+@pytest.mark.slow  # second full-model compile (~60 s) — fast-suite budget
 def test_bf16_forward_tracks_f32(monkeypatch):
     """Mixed-precision policy bound (ADVICE r3): the bf16 forward (params +
     activations cast to bfloat16, exactly what bench.py and the Trainer's

@@ -592,3 +592,42 @@ def test_evaluate_device_channels_matches_host(tmp_path):
 
     # GT labels identical; the uint8 path really is smaller on the wire
     assert pix0.nbytes * 40 // 6 >= host_ds[0][0].nbytes  # 6 vs 40 B/px
+
+
+def test_train_device_channels_matches_host(tmp_path):
+    """r5: the TRAIN step also accepts packed uint8 frames (device-side
+    channel building inside the compiled fwd+bwd) — per-epoch losses must
+    equal the host-built pipeline's exactly, since the device builder is
+    bit-exact (tests/test_data.py::TestDevicePreprocess). This is what lets
+    a thin-link host feed training at 3-9 B/px instead of 12-40."""
+    from rgbdseg_tpu.data import synthetic
+    from rgbdseg_tpu.data.pipeline import SegmentationDataset, load_meta
+
+    fx = synthetic.generate(str(tmp_path / "set"), num_train=4, num_valid=2, size=(64, 64), seed=7)
+    pp = PreprocessConfig(height=64, width=64)
+    cfg = ModelConfig.tiny(num_labels=3, version="0.4.0")
+    meta = load_meta(fx["train"], fx["root"])
+
+    def run(device_channels):
+        ds = SegmentationDataset(meta, "0.4.0", pp, max_instances=4, device_channels=device_channels)
+        assert ds.device_channels == device_channels
+        args = TrainingArguments(
+            output_dir=str(tmp_path / f"o{int(device_channels)}"),
+            num_train_epochs=2,
+            per_device_train_batch_size=2,
+            learning_rate=1e-4,
+            seed=3,
+            num_devices=1,
+            dataloader_num_workers=0,
+            save_strategy="no",
+            eval_strategy="no",
+        )
+        tr = Trainer(cfg, args, ds, None, {0: "bg", 1: "box", 2: "ball"})
+        tr.train()
+        return [e["loss"] for e in tr.log_history if "loss" in e]
+
+    host_losses = run(False)
+    dev_losses = run(True)
+    assert len(host_losses) == len(dev_losses) == 2
+    for h, d in zip(host_losses, dev_losses):
+        assert d == pytest.approx(h, rel=1e-5, abs=1e-6), (host_losses, dev_losses)
