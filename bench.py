@@ -187,6 +187,11 @@ def _build_train_state(cfg, h, w, bf16: bool, preprocess=None):
             from rgbdseg_tpu.data.device_preprocess import build_from_packed
 
             px = build_from_packed(map_fn_name, px, preprocess)
+        if masks.dtype == jnp.uint8:
+            from rgbdseg_tpu.data.device_preprocess import unpack_masks
+            from rgbdseg_tpu.data.preprocess import output_size
+
+            masks = unpack_masks(masks, output_size(preprocess))
 
         def loss_fn(p):
             pc = jax.tree.map(lambda a: a.astype(jnp.bfloat16), p) if bf16 else p
@@ -436,6 +441,8 @@ def bench_pipeline():
         max_instances=int(os.environ.get("BENCH_T", "20")),
         device_channels=dev_ch,
     )
+    # bit-packed GT (32x smaller target upload), like Trainer.pack_targets
+    ds.pack_gt = os.environ.get("BENCH_PACK_TARGETS", "1") == "1"
     workers = int(os.environ.get("BENCH_WORKERS", "4"))
 
     def feed_epoch():
@@ -453,7 +460,13 @@ def bench_pipeline():
     )
 
     def put(b):
-        mk, cl, vd = compact_targets(b.mask_labels, b.class_labels, b.valid)
+        if b.mask_labels_packed is not None:
+            mk, cl, vd, pk = compact_targets(
+                b.mask_labels, b.class_labels, b.valid, packed=b.mask_labels_packed
+            )
+            mk = pk  # ship the bit-packed GT; the step unpacks on device
+        else:
+            mk, cl, vd = compact_targets(b.mask_labels, b.class_labels, b.valid)
         return (
             jnp.asarray(b.pixel_values),
             jnp.asarray(mk),

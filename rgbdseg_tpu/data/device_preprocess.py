@@ -210,6 +210,22 @@ def _build_pixels_resized(
     raise ValueError(f"device preprocess does not support {map_fn_name}")
 
 
+def unpack_masks(packed_u8: jnp.ndarray, hw: tuple[int, int]) -> jnp.ndarray:
+    """Bit-packed GT masks (B, T, ceil(H*W/8)) uint8 (np.packbits layout,
+    MSB-first) -> (B, T, H, W) float32 0/1, on device.
+
+    The training targets are binary, so shipping them packed cuts their
+    host->device bytes 32x (a (1, 16, 480, 640) f32 target block is 19.7 MB
+    — more than the packed input frames — and on thin links dominates the
+    step's upload). Inverse of SegmentationDataset._packed_masks; exactness
+    pinned in tests/test_trainer.py::test_train_packed_targets_match."""
+    h, w = hw
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed_u8[..., None] >> shifts) & jnp.uint8(1)  # (..., N, 8)
+    flat = bits.reshape(packed_u8.shape[:-1] + (-1,))[..., : h * w]
+    return flat.reshape(packed_u8.shape[:-1] + (h, w)).astype(jnp.float32)
+
+
 def build_from_packed(map_fn_name: str, packed_u8: jnp.ndarray, cfg: PreprocessConfig) -> jnp.ndarray:
     """(B, H, W, packed_width) uint8 (rgb | frame2 [| frame3]) -> the float32
     channel stack. The single packed array is what the input-staging path

@@ -54,7 +54,8 @@ def compact_targets(
     class_labels: np.ndarray,
     valid: np.ndarray,
     min_bucket: int = 8,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    packed: Optional[np.ndarray] = None,
+) -> tuple:
     """Slice padded instance targets to the smallest power-of-two bucket
     covering the batch's real max instance count.
 
@@ -81,6 +82,9 @@ def compact_targets(
     different stream, exactly as the reference's ragged draw depends on its
     real instance count. Pinned exact (injected slot-stable coords) by
     tests/test_compaction.py.
+
+    When `packed` (the bit-packed (B, T, N) GT twin, Batch.mask_labels_packed)
+    is given, it is permuted/sliced identically and returned as a 4th element.
     """
     valid = np.asarray(valid, bool)
     t = valid.shape[1]
@@ -90,13 +94,17 @@ def compact_targets(
         tb *= 2
     tb = min(tb, t)
     if tb >= t:
-        return mask_labels, class_labels, valid
+        out = (mask_labels, class_labels, valid)
+        return out + (packed,) if packed is not None else out
     if valid[:, tb:].any():  # valid slots past the slice point: pack them first
         order = np.argsort(~valid, axis=1, kind="stable")
         mask_labels = np.take_along_axis(mask_labels, order[:, :, None, None], axis=1)
         class_labels = np.take_along_axis(class_labels, order, axis=1)
+        if packed is not None:
+            packed = np.take_along_axis(packed, order[:, :, None], axis=1)
         valid = np.take_along_axis(valid, order, axis=1)
-    return mask_labels[:, :tb], class_labels[:, :tb], valid[:, :tb]
+    out = (mask_labels[:, :tb], class_labels[:, :tb], valid[:, :tb])
+    return out + (packed[:, :tb],) if packed is not None else out
 
 
 def load_meta(path: str, root: Optional[str] = None) -> list[dict]:

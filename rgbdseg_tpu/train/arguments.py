@@ -81,6 +81,12 @@ class TrainingArguments:
     # max_instances shape so every host dispatches the same program).
     compact_instances: bool = True
     instance_bucket_floor: int = 8
+    # Ship GT instance masks BIT-PACKED (32x fewer bytes; they are binary)
+    # and unpack on device inside the compiled step — a (B, T, H, W) f32
+    # target block otherwise outweighs even the packed input frames on thin
+    # host->device links. Single-process path; requires pipeline-produced
+    # batches (Batch.mask_labels_packed).
+    pack_targets: bool = True
     dataloader_num_workers: int = 4
     resume_from_checkpoint: Optional[str] = None
     overwrite_output_dir: bool = False

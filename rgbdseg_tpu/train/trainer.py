@@ -111,9 +111,10 @@ class Trainer:
         self.total_flos = 0.0
         self._flos_per_micro_step: Optional[float] = None
         self._compiled = {}
-        # target-bucket T -> (AOT-compiled micro step, flops/call); one entry
-        # per distinct padded-target shape (see compact_instances)
-        self._compiled_micro: dict[int, tuple] = {}
+        # (target-bucket T, mask dtype) -> (AOT-compiled micro step,
+        # flops/call); one entry per distinct target signature (see
+        # compact_instances / pack_targets)
+        self._compiled_micro: dict[tuple, tuple] = {}
 
         self.rng = jax.random.PRNGKey(args.seed)
         self.params = None
@@ -250,6 +251,13 @@ class Trainer:
                 from ..data.device_preprocess import build_from_packed
 
                 pixel_values = build_from_packed(map_fn_name, pixel_values, pp)
+            if masks.dtype == jnp.uint8:
+                # bit-packed binary GT (TrainingArguments.pack_targets):
+                # lossless 32x-smaller upload, unpacked here on device
+                from ..data.device_preprocess import unpack_masks
+                from ..data.preprocess import output_size
+
+                masks = unpack_masks(masks, output_size(pp))
             pixel_values = self._cast_bf16(pixel_values)
 
             def loss_fn(p):
@@ -401,6 +409,12 @@ class Trainer:
                 from ..data.device_preprocess import build_from_packed
 
                 pixel_values = build_from_packed(map_fn_name, pixel_values, pp)
+            if masks.dtype == jnp.uint8:
+                # bit-packed binary GT (pack_targets) — unpack for the loss
+                from ..data.device_preprocess import unpack_masks
+                from ..data.preprocess import output_size
+
+                masks = unpack_masks(masks, output_size(pp))
             variables = {"params": self._cast_bf16(params)}
             if has_bn:
                 variables["batch_stats"] = batch_stats
@@ -465,6 +479,7 @@ class Trainer:
                 orig_sizes=None if batch.orig_sizes is None else padrep(batch.orig_sizes),
             )
         mk, cl, vd = batch.mask_labels, batch.class_labels, batch.valid
+        packed = batch.mask_labels_packed if self.args.pack_targets else None
         if self.args.compact_instances:
             # Criterion cost is linear in the padded slot count: slice the
             # targets to the per-batch real need (power-of-two buckets bound
@@ -472,7 +487,16 @@ class Trainer:
             # process_count()>1 early return.
             from ..data.pipeline import compact_targets
 
-            mk, cl, vd = compact_targets(mk, cl, vd, self.args.instance_bucket_floor)
+            if packed is not None:
+                mk, cl, vd, packed = compact_targets(
+                    mk, cl, vd, self.args.instance_bucket_floor, packed=packed
+                )
+            else:
+                mk, cl, vd = compact_targets(mk, cl, vd, self.args.instance_bucket_floor)
+        if packed is not None:
+            # ship the 32x-smaller bit-packed GT; the compiled step unpacks
+            # (data/device_preprocess.unpack_masks — binary masks, lossless)
+            mk = packed
         put = lambda x: jax.device_put(jnp.asarray(x), self.data_sharding)
         return (
             put(batch.pixel_values),
@@ -485,6 +509,10 @@ class Trainer:
     def train(self, resume_from_checkpoint: Optional[str] = None) -> dict:
         args = self.args
         os.makedirs(args.output_dir, exist_ok=True)
+        if args.pack_targets and jax.process_count() == 1 and hasattr(self.train_dataset, "pack_gt"):
+            # batches carry bit-packed GT twins; _put ships those (32x fewer
+            # bytes) and the compiled step unpacks on device
+            self.train_dataset.pack_gt = True
         first = next(self.train_dataset.batches(min(self._global_train_batch, len(self.train_dataset))))
         if self.params is None:
             self._init_state(first)
@@ -573,7 +601,10 @@ class Trainer:
                 local_rows=local_rows,
             ):
                 (px, mk, cl, vd), _ = self._put(batch, global_b=self._global_train_batch)
-                tkey = int(mk.shape[1])
+                # cache key: target bucket + mask dtype (a batch that lost its
+                # packed GT twin, e.g. the uneven-batch padrep path, must not
+                # hit a bit-packed executable)
+                tkey = (int(mk.shape[1]), str(mk.dtype))
                 if tkey not in self._compiled_micro:
                     # AOT-compile the micro step per target-bucket shape (fwd +
                     # criterion + bwd [+ AdamW when ga==1]) and read the

@@ -631,3 +631,51 @@ def test_train_device_channels_matches_host(tmp_path):
     assert len(host_losses) == len(dev_losses) == 2
     for h, d in zip(host_losses, dev_losses):
         assert d == pytest.approx(h, rel=1e-5, abs=1e-6), (host_losses, dev_losses)
+
+
+def test_unpack_masks_inverts_packbits():
+    from rgbdseg_tpu.data.device_preprocess import unpack_masks
+
+    rs = np.random.RandomState(2)
+    masks = (rs.rand(2, 5, 13, 21) > 0.6).astype(np.float32)  # 13*21 not /8
+    packed = np.packbits(masks.astype(bool).reshape(2, 5, -1), axis=-1)
+    got = np.asarray(unpack_masks(packed, (13, 21)))
+    np.testing.assert_array_equal(got, masks)
+
+
+def test_train_packed_targets_match(tmp_path):
+    """r5: bit-packed GT upload (TrainingArguments.pack_targets) — per-epoch
+    losses must equal the f32-target run exactly (binary masks, lossless
+    pack/unpack). Cuts the dominant target-upload bytes 32x on thin links."""
+    from rgbdseg_tpu.data import synthetic
+    from rgbdseg_tpu.data.pipeline import SegmentationDataset, load_meta
+
+    fx = synthetic.generate(str(tmp_path / "set"), num_train=4, num_valid=2, size=(64, 64), seed=11)
+    pp = PreprocessConfig(height=64, width=64)
+    cfg = ModelConfig.tiny(num_labels=3, version="0.4.0")
+    meta = load_meta(fx["train"], fx["root"])
+
+    def run(pack):
+        ds = SegmentationDataset(meta, "0.4.0", pp, max_instances=4)
+        args = TrainingArguments(
+            output_dir=str(tmp_path / f"p{int(pack)}"),
+            num_train_epochs=1,
+            per_device_train_batch_size=2,
+            learning_rate=1e-4,
+            seed=3,
+            num_devices=1,
+            dataloader_num_workers=0,
+            save_strategy="no",
+            eval_strategy="no",
+            pack_targets=pack,
+        )
+        tr = Trainer(cfg, args, ds, None, {0: "bg", 1: "box", 2: "ball"})
+        tr.train()
+        if pack:
+            assert ds.pack_gt  # the packed path actually engaged
+        return [e["loss"] for e in tr.log_history if "loss" in e]
+
+    plain = run(False)
+    packed = run(True)
+    assert len(plain) == len(packed) == 1
+    assert packed[0] == pytest.approx(plain[0], rel=1e-6, abs=1e-7), (plain, packed)
