@@ -113,24 +113,28 @@ def main(argv=None):
         save_metrics(training_args.output_dir, "test", metrics)
         logger.info("test metrics: %s", json.dumps(metrics, indent=2))
 
-        # model card (reference: trainer.create_model_card, finetuning.py:141-149)
-        from rgbdseg_tpu.train.model_card import create_model_card
+        # model card + hub push: process-0 only, like every host-side file
+        # artifact (reference: trainer.create_model_card, finetuning.py:141-149)
+        import jax as _jax
 
-        create_model_card(
-            training_args.output_dir,
-            model_name=os.path.basename(os.path.normpath(training_args.output_dir)),
-            training_args=training_args,
-            eval_metrics=metrics,
-            log_history=trainer.log_history,
-            base_model=args.model_name_or_path or None,
-            dataset_name=args.train_json_path,
-        )
+        if _jax.process_index() == 0:
+            from rgbdseg_tpu.train.model_card import create_model_card
 
-        # hub push (reference: finetuning.py:141-149 trainer.push_to_hub)
-        if training_args.push_to_hub:
-            from rgbdseg_tpu.train.hub import push_to_hub
+            create_model_card(
+                training_args.output_dir,
+                model_name=os.path.basename(os.path.normpath(training_args.output_dir)),
+                training_args=training_args,
+                eval_metrics=metrics,
+                log_history=trainer.log_history,
+                base_model=args.model_name_or_path or None,
+                dataset_name=args.train_json_path,
+            )
 
-            push_to_hub(training_args.output_dir, repo_id=training_args.hub_model_id)
+            # hub push (reference: finetuning.py:141-149 trainer.push_to_hub)
+            if training_args.push_to_hub:
+                from rgbdseg_tpu.train.hub import push_to_hub
+
+                push_to_hub(training_args.output_dir, repo_id=training_args.hub_model_id)
 
         if args.prediction_json_path or args.gt_json_path or args.comparison_output_dir:
             from rgbdseg_tpu.inference.export import process_prediction

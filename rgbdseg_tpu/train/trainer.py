@@ -717,6 +717,13 @@ class Trainer:
         save_checkpoint(output_dir, self.global_step, state, self.args.save_total_limit)
 
     def save_state(self):
+        if jax.process_index() != 0:
+            # HF Trainer semantics: only the world-zero process writes the
+            # host-side JSON artifacts. Every process computes identical
+            # metrics (eval stats are allgathered), and concurrent writers
+            # raced on the same file (caught by test_multihost_exec: a
+            # process read all_results.json mid-truncate).
+            return
         path = os.path.join(self.args.output_dir, "trainer_state.json")
         with open(path, "w") as f:
             json.dump(
@@ -930,7 +937,11 @@ class Trainer:
 
 
 def save_metrics(output_dir: str, split: str, metrics: dict) -> None:
-    """HF-compatible metrics JSON files (train/eval/test/all_results.json)."""
+    """HF-compatible metrics JSON files (train/eval/test/all_results.json).
+    Multi-process: process 0 writes (all processes hold identical metrics);
+    concurrent writers raced on the read-modify-write of all_results.json."""
+    if jax.process_index() != 0:
+        return
     os.makedirs(output_dir, exist_ok=True)
     path = os.path.join(output_dir, f"{split}_results.json")
     with open(path, "w") as f:
