@@ -79,15 +79,12 @@ def test_loss_and_gradients():
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+@pytest.mark.slow  # whichever variant runs first pays the ~120 s default
+# fwd+bwd baseline compile (demoting a single variant just moves it) — the
+# whole A/B parity group lives in the slow tier per the fast-suite budget
 @pytest.mark.parametrize(
     "env",
-    [
-        # the fused-P twin compiles a second full criterion+backward (~120 s
-        # on this 1-core box) — slow tier per the fast-suite budget
-        pytest.param({"RGBDSEG_TENT_SEPARABLE": "0"}, marks=pytest.mark.slow),
-        {"RGBDSEG_REMAT": "dots"},
-        {"RGBDSEG_REMAT": "0"},
-    ],
+    [{"RGBDSEG_TENT_SEPARABLE": "0"}, {"RGBDSEG_REMAT": "dots"}, {"RGBDSEG_REMAT": "0"}],
 )
 def test_perf_ab_variants_match_default(env, monkeypatch):
     """The env-gated A/B formulations (fused-P tent sampling — the non-default
