@@ -41,6 +41,22 @@ def main(argv=None):
         if last_checkpoint:
             logger.info("Resuming from checkpoint %s", last_checkpoint)
 
+    # Resolve the fusion version BEFORE the datasets are built: a custom HF
+    # export carries its own rgbdseg_version tag (utils/hf_convert), and the
+    # data pipeline's channel layout must match the model's — building the
+    # datasets with a stale --version flag would feed a different map
+    # function than the model expects.
+    if args.model_name_or_path and os.path.isdir(args.model_name_or_path) and os.path.exists(
+        os.path.join(args.model_name_or_path, "config.json")
+    ):
+        with open(os.path.join(args.model_name_or_path, "config.json")) as f:
+            tagged = json.load(f).get("rgbdseg_version")
+        if tagged and tagged != args.version:
+            logger.info(
+                "checkpoint carries version %s (overriding --version %s)", tagged, args.version
+            )
+            args.version = tagged
+
     train_ds, valid_ds, label2id, id2label = build_datasets(args)
     cfg = ModelConfig(num_labels=len(label2id), version=args.version)
     if args.model_config_json:
@@ -88,7 +104,15 @@ def main(argv=None):
         trainer.save_state()
         import jax as _jax
 
-        if _jax.process_index() == 0:
+        if _jax.process_count() > 1 and training_args.model_parallel_size > 1:
+            # model-sharded params span hosts (non-addressable from process
+            # 0), so device_get would raise; the orbax checkpoint (which
+            # coordinates processes) remains the multi-host-TP artifact
+            logger.warning(
+                "HF export skipped: multi-host model-parallel params are not "
+                "host-gatherable here (use the orbax checkpoint)"
+            )
+        elif _jax.process_index() == 0:
             # The reference's training artifact is an HF checkpoint directory
             # at output_dir (finetuning.py:114-117 Trainer.save_model) that
             # its torch stack reloads via from_pretrained

@@ -105,86 +105,46 @@ def build_pixels(
     grad_u8: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Raw (B, H, W, 3) uint8 frames -> the version's float32 channel stack,
-    identical to the host map function's pixel output. Source frames at the
-    target size take the derive-only path; any other size goes through
-    `_build_pixels_resized`, which replicates the host builders'
-    derive/resize ordering with the bit-exact device resamplers. `depth_u8`
-    is the second on-disk frame (depth image for most layouts, the
-    precomputed gradient image for map_7channel_tmp); `grad_u8` is case1's
-    third on-disk frame. Jit-friendly: pure jnp, static shapes.
-    """
-    from ..data.preprocess import output_size
+    identical to the host map function's pixel output.
 
-    if tuple(rgb_u8.shape[-3:-1]) != output_size(cfg):
-        return _build_pixels_resized(map_fn_name, rgb_u8, depth_u8, cfg, grad_u8)
-    color = normalize_u8(rgb_u8, cfg)
+    One dispatch tree for both the at-target-size and the arbitrary-source-
+    size cases: the two resamplers below are IDENTITY at the target size and
+    otherwise the bit-exact device twins of the host resizers
+    (ops/resize_exact.py), applied in the host builders' exact order —
+    PIL-BILINEAR for the process_image channels; PIL-grayscale at SOURCE
+    size then cv2-INTER_LINEAR for the gray-depth derivations; cv2-resize
+    >50 thresholds for the validity masks. `depth_u8` is the second on-disk
+    frame (depth image for most layouts, the precomputed gradient image for
+    map_7channel_tmp); `grad_u8` is case1's third on-disk frame.
+    Jit-friendly: pure jnp, static shapes."""
+    from .preprocess import output_size
+
+    size = output_size(cfg)
+    if tuple(rgb_u8.shape[-3:-1]) == size:
+        rs_pil = lambda x: x  # noqa: E731 — identity twins at target size
+        rs_cv = lambda x, has_channels=True: x  # noqa: E731
+    else:
+        from ..ops.resize_exact import cv2_resize_linear_u8, pil_resize_u8
+
+        rs_pil = lambda x: pil_resize_u8(x, size, has_channels=True)  # noqa: E731
+        rs_cv = lambda x, has_channels=True: cv2_resize_linear_u8(  # noqa: E731
+            x, size, has_channels=has_channels
+        )
+
+    color = normalize_u8(rs_pil(rgb_u8), cfg)
     if map_fn_name == "map_3channel":
         return color
     assert depth_u8 is not None, "RGB-D layout needs a second frame"
     if map_fn_name == "map_7channel_tmp":
         # depth_u8 IS the on-disk gradient image here (registry.py
-        # map_7channel_tmp); raw >50-on-any-channel validity mask.
-        grad = normalize_u8(depth_u8, cfg)
-        gmask = jnp.any(depth_u8 > 50, axis=-1).astype(jnp.float32)
-        return jnp.concatenate([color, grad, gmask[..., None]], axis=-1)
-    if map_fn_name == "map_7channel_g2":
-        gray = pil_grayscale_u8(depth_u8).astype(jnp.float32)
-        norm_mag, _, _, valid = gradient_features(gray)
-        grad = jnp.stack([norm_mag] * 3, axis=-1)
-        return jnp.concatenate([color, grad, valid[..., None].astype(jnp.float32)], axis=-1)
-    if map_fn_name == "map_7channel_s":
-        gray = pil_grayscale_u8(depth_u8).astype(jnp.float32)
-        normals, valid = surface_normals_gradient(gray)
-        return jnp.concatenate([color, normals, valid[..., None].astype(jnp.float32)], axis=-1)
-    if map_fn_name == "map_7channel_s2":
-        gray = pil_grayscale_u8(depth_u8).astype(jnp.float32)
-        return jnp.concatenate([color, gray[..., None]], axis=-1)
-    depth = normalize_u8(depth_u8, cfg)
-    if map_fn_name == "map_6channel":
-        return jnp.concatenate([color, depth], axis=-1)
-    if map_fn_name == "map_10channel_case1":
-        assert grad_u8 is not None, "case1 needs the on-disk gradient frame"
-        grad = normalize_u8(grad_u8, cfg)
-        gmask = jnp.any(grad_u8 > 50, axis=-1).astype(jnp.float32)
-        return jnp.concatenate([color, depth, grad, gmask[..., None]], axis=-1)
-    if map_fn_name == "map_10channel_case2":
-        gray = pil_grayscale_u8(depth_u8).astype(jnp.float32)
-        norm_mag, _, _, valid = gradient_features(gray)
-        grad = jnp.stack([norm_mag] * 3, axis=-1)
-        return jnp.concatenate([color, depth, grad, valid[..., None]], axis=-1)
-    raise ValueError(f"device preprocess does not support {map_fn_name}")
-
-
-def _build_pixels_resized(
-    map_fn_name: str,
-    rgb_u8: jnp.ndarray,
-    depth_u8: jnp.ndarray | None,
-    cfg: PreprocessConfig,
-    grad_u8: jnp.ndarray | None = None,
-) -> jnp.ndarray:
-    """Source frames at a non-target size: replicate each host builder's
-    EXACT pipeline (data/registry.py) on device — PIL-BILINEAR resize for
-    process_image channels, PIL-grayscale at SOURCE size then cv2-INTER_LINEAR
-    resize for the gray-depth derivations, cv2-resize >50 thresholds for the
-    validity masks. Both resamplers are the bit-exact integer twins from
-    ops/resize_exact.py, so the output equals the host map function's
-    pixel-for-pixel."""
-    from ..ops.resize_exact import cv2_resize_linear_u8, pil_resize_u8
-    from .preprocess import output_size
-
-    size = output_size(cfg)
-    color = normalize_u8(pil_resize_u8(rgb_u8, size), cfg)
-    if map_fn_name == "map_3channel":
-        return color
-    assert depth_u8 is not None, "RGB-D layout needs a second frame"
-    if map_fn_name == "map_7channel_tmp":
-        grad = normalize_u8(pil_resize_u8(depth_u8, size), cfg)
-        resized = cv2_resize_linear_u8(depth_u8, size)
-        gmask = jnp.any(resized > 50, axis=-1).astype(jnp.float32)
+        # map_7channel_tmp); >50-on-any-channel validity mask on the
+        # cv2-resized frame (raw frame when already at target size).
+        grad = normalize_u8(rs_pil(depth_u8), cfg)
+        gmask = jnp.any(rs_cv(depth_u8) > 50, axis=-1).astype(jnp.float32)
         return jnp.concatenate([color, grad, gmask[..., None]], axis=-1)
     if map_fn_name in ("map_7channel_g2", "map_7channel_s", "map_7channel_s2"):
         # host order: PIL convert("L") at SOURCE size -> cv2 resize -> derive
-        gray = cv2_resize_linear_u8(pil_grayscale_u8(depth_u8), size).astype(jnp.float32)
+        gray = rs_cv(pil_grayscale_u8(depth_u8), has_channels=False).astype(jnp.float32)
         if map_fn_name == "map_7channel_g2":
             norm_mag, _, _, valid = gradient_features(gray)
             grad = jnp.stack([norm_mag] * 3, axis=-1)
@@ -193,17 +153,16 @@ def _build_pixels_resized(
             normals, valid = surface_normals_gradient(gray)
             return jnp.concatenate([color, normals, valid[..., None].astype(jnp.float32)], axis=-1)
         return jnp.concatenate([color, gray[..., None]], axis=-1)
-    depth = normalize_u8(pil_resize_u8(depth_u8, size), cfg)
+    depth = normalize_u8(rs_pil(depth_u8), cfg)
     if map_fn_name == "map_6channel":
         return jnp.concatenate([color, depth], axis=-1)
     if map_fn_name == "map_10channel_case1":
         assert grad_u8 is not None, "case1 needs the on-disk gradient frame"
-        grad = normalize_u8(pil_resize_u8(grad_u8, size), cfg)
-        resized = cv2_resize_linear_u8(grad_u8, size)
-        gmask = jnp.any(resized > 50, axis=-1).astype(jnp.float32)
+        grad = normalize_u8(rs_pil(grad_u8), cfg)
+        gmask = jnp.any(rs_cv(grad_u8) > 50, axis=-1).astype(jnp.float32)
         return jnp.concatenate([color, depth, grad, gmask[..., None]], axis=-1)
     if map_fn_name == "map_10channel_case2":
-        gray = cv2_resize_linear_u8(pil_grayscale_u8(depth_u8), size).astype(jnp.float32)
+        gray = rs_cv(pil_grayscale_u8(depth_u8), has_channels=False).astype(jnp.float32)
         norm_mag, _, _, valid = gradient_features(gray)
         grad = jnp.stack([norm_mag] * 3, axis=-1)
         return jnp.concatenate([color, depth, grad, valid[..., None]], axis=-1)

@@ -299,7 +299,11 @@ class SegmentationDataset:
                 t,
                 masks.shape[0] - t,
             )
-        h, w = pix.shape[:2]
+        # Label geometry comes from the masks (always built at the
+        # preprocessed target size by _labels), NOT from pix: in
+        # device_channels mode pix is the RAW frame at its source size,
+        # which may legitimately differ (the device builder resizes).
+        h, w = masks.shape[-2:] if masks.ndim == 3 else pix.shape[:2]
         pm = np.zeros((t, h, w), np.float32)
         pc = np.zeros((t,), np.int32)
         pv = np.zeros((t,), bool)
@@ -369,14 +373,22 @@ class SegmentationDataset:
                 yield f.result()
 
     def _packed_masks(self, idx: int, pm: np.ndarray) -> np.ndarray:
-        """Bit-packed (T, ceil(H*W/8)) GT for example `idx` (memoized —
-        identical to np.packbits(batch.mask_labels.reshape(B, T, -1), axis=-1)
-        row-wise, which is what the device-stats eval consumes)."""
-        if idx not in self._packed_cache:
-            self._packed_cache[idx] = np.packbits(
-                pm.astype(bool).reshape(pm.shape[0], -1), axis=-1
-            )
-        return self._packed_cache[idx]
+        """Bit-packed (T, ceil(H*W/8)) GT for example `idx` — identical to
+        np.packbits(batch.mask_labels.reshape(B, T, -1), axis=-1) row-wise,
+        which is what the device-stats eval consumes.
+
+        Memoized ONLY when the item itself sits in the (bounded) item cache:
+        an uncached item is rebuilt per epoch — possibly through a random
+        augmentation transform — and a forever-memoized packed twin would go
+        stale against it (and grow unbounded). Tying the two caches together
+        keeps them consistent and inside the same memory budget."""
+        if self._cache is not None and idx in self._cache:
+            if idx not in self._packed_cache:
+                self._packed_cache[idx] = np.packbits(
+                    pm.astype(bool).reshape(pm.shape[0], -1), axis=-1
+                )
+            return self._packed_cache[idx]
+        return np.packbits(pm.astype(bool).reshape(pm.shape[0], -1), axis=-1)
 
     def _assemble(self, indices) -> Batch:
         items = [self[int(i)] for i in indices]

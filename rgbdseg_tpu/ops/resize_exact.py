@@ -75,17 +75,28 @@ def _pil_pass(x: jnp.ndarray, K: np.ndarray, axis: int) -> jnp.ndarray:
     return jnp.moveaxis(acc.reshape((K.shape[0],) + t.shape[1:]), 0, axis)
 
 
-def pil_resize_u8(img_u8: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+def _spatial_axes(img: jnp.ndarray, has_channels) -> tuple[int, int]:
+    """Locate (H, W) axes in a channels-last uint8 array. `has_channels=None`
+    infers: 2-D never has channels; 3-D has them iff the minor dim looks like
+    a channel count (<= 4) — AMBIGUOUS for tiny images, so internal callers
+    pass the flag explicitly ((B, H, W) grayscale vs (H, W, C)); 4-D+ always
+    (B..., H, W, C)."""
+    if has_channels is None:
+        has_channels = img.ndim >= 4 or (img.ndim == 3 and img.shape[-1] <= 4)
+    ax_h = img.ndim - (3 if has_channels else 2)
+    return ax_h, ax_h + 1
+
+
+def pil_resize_u8(
+    img_u8: jnp.ndarray, out_hw: tuple[int, int], has_channels: bool | None = None
+) -> jnp.ndarray:
     """PIL ``Image.resize(..., BILINEAR)`` parity for uint8 images on device.
 
-    img_u8: (..., H, W) or (..., H, W, C<=4 treated as channels) — the two
-    spatial axes are `-3, -2` when the array has a channel axis, else the
-    last two. Use `channel_last=True` layout (B, H, W, C) or (H, W).
+    img_u8: channels-last. Pass `has_channels` explicitly for 3-D arrays
+    whose layout is ambiguous ((B, H, W) stacks vs (H, W, C) images).
     """
     h, w = out_hw
-    has_c = img_u8.ndim >= 3
-    ax_h = img_u8.ndim - (3 if has_c else 2)
-    ax_w = ax_h + 1
+    ax_h, ax_w = _spatial_axes(img_u8, has_channels)
     x = img_u8.astype(jnp.int32)
     if img_u8.shape[ax_w] != w:  # horizontal first (Pillow order; measured exact)
         x = _pil_pass(x, _pil_matrix(img_u8.shape[ax_w], w), ax_w)
@@ -116,16 +127,16 @@ def _cv_taps(in_size: int, out_size: int):
     return s0, s1, a, b
 
 
-def cv2_resize_linear_u8(img_u8: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+def cv2_resize_linear_u8(
+    img_u8: jnp.ndarray, out_hw: tuple[int, int], has_channels: bool | None = None
+) -> jnp.ndarray:
     """cv2.resize(..., INTER_LINEAR) parity for uint8 on device.
 
-    img_u8: (H, W), (H, W, C), or batched (B, H, W[, C]) — spatial axes are
-    located like in pil_resize_u8 (channels-last).
+    img_u8: (H, W), (H, W, C), or batched (B, H, W[, C]) channels-last; pass
+    `has_channels` explicitly for ambiguous 3-D layouts (see pil_resize_u8).
     """
     h, w = out_hw
-    has_c = img_u8.ndim >= 3 and img_u8.shape[-1] <= 16
-    ax_h = img_u8.ndim - (3 if has_c else 2)
-    ax_w = ax_h + 1
+    ax_h, ax_w = _spatial_axes(img_u8, has_channels)
     hs0, hs1, ha, hb = _cv_taps(img_u8.shape[ax_w], w)
     vs0, vs1, va, vb = _cv_taps(img_u8.shape[ax_h], h)
     x = img_u8.astype(jnp.int32)

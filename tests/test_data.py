@@ -320,3 +320,64 @@ def test_predictor_fast_path_handles_source_resize(tmp_path):
     res = p2.predict_example({"image": [rgb_p, d2_p]}, threshold=0.1)
     assert p2._apply_raw is None
     assert res["segmentation"].shape[-2:] == (h, w)
+
+
+def test_device_channels_non_target_source_size(tmp_path):
+    """Code-review r5 regression: device_channels datasets whose (uniform)
+    source frames are NOT at the target size must pad the GT buffer at the
+    LABEL size (preprocessed target), not the raw frame size — the two
+    legitimately differ in this mode (pix ships raw, labels ship built)."""
+    from PIL import Image
+    from rgbdseg_tpu.data.pipeline import SegmentationDataset
+
+    rng = np.random.RandomState(4)
+    sh, sw, h, w = 100, 150, 64, 96
+    records = []
+    for i in range(2):
+        rgb_p, d_p, m_p = (str(tmp_path / f"{n}{i}.png") for n in ("r", "d", "m"))
+        Image.fromarray(rng.randint(0, 256, (sh, sw, 3), dtype=np.uint8)).save(rgb_p)
+        Image.fromarray(rng.randint(0, 256, (sh, sw, 3), dtype=np.uint8)).save(d_p)
+        mask = np.zeros((sh, sw, 3), np.uint8)
+        mask[20:60, 30:90, 1] = 1  # instance id
+        mask[20:60, 30:90, 2] = 1  # semantic id
+        Image.fromarray(mask).save(m_p)
+        records.append(
+            {"image": [rgb_p, d_p], "annotation": m_p, "semantic_class_to_id": {"bg": 0, "a": 1}}
+        )
+    pp = PreprocessConfig(height=h, width=w)
+    ds = SegmentationDataset(records, "0.4.0", pp, max_instances=4, device_channels=True)
+    assert ds.device_channels  # uniform non-target size is now eligible
+    pix, pm, pc, pv = ds[0]
+    assert pix.dtype == np.uint8 and pix.shape == (sh, sw, 6)  # raw frames
+    assert pm.shape == (4, h, w)  # labels at the preprocessed target size
+    assert pv[:1].all()
+    b = next(ds.batches(2, num_workers=0))
+    assert b.pixel_values.shape == (2, sh, sw, 6)
+    assert b.mask_labels.shape == (2, 4, h, w)
+    # the packed path stays consistent with the label geometry
+    ds.pack_gt = True
+    b2 = next(ds.batches(2, num_workers=0))
+    assert b2.mask_labels_packed.shape == (2, 4, (h * w + 7) // 8)
+
+
+def test_resize_exact_explicit_channel_axis():
+    """Code-review r5 regression: 3-D arrays are ambiguous ((B, H, W) stacks
+    vs (H, W, C) images) — the explicit has_channels flag must control the
+    spatial axes, and the narrow-image heuristic trap ((B, H, W<=4)) must be
+    avoidable."""
+    from PIL import Image
+    import cv2 as _cv2
+    from rgbdseg_tpu.ops.resize_exact import cv2_resize_linear_u8, pil_resize_u8
+
+    rng = np.random.RandomState(5)
+    stack = rng.randint(0, 256, (3, 40, 4), np.uint8)  # B=3 grayscale, W=4!
+    want_cv = np.stack(
+        [_cv2.resize(stack[i], (8, 16), interpolation=_cv2.INTER_LINEAR) for i in range(3)]
+    )
+    got_cv = np.asarray(cv2_resize_linear_u8(stack, (16, 8), has_channels=False))
+    np.testing.assert_array_equal(got_cv, want_cv)
+    want_pil = np.stack(
+        [np.asarray(Image.fromarray(stack[i]).resize((8, 16), Image.BILINEAR)) for i in range(3)]
+    )
+    got_pil = np.asarray(pil_resize_u8(stack, (16, 8), has_channels=False))
+    np.testing.assert_array_equal(got_pil, want_pil)
