@@ -358,10 +358,15 @@ def _pixel_inputs(version, rng):
     value replicated x3 so the histogram differential is bin-edge robust (the
     3-channel->gray path itself is pinned by test_ops_depth)."""
     b, h, w = 2, 64, 96
-    total = {"0.1.1": 6, "0.1.3": 6, "0.3.0": 10, "0.4.0": 10}[version]
+    total = {"0.1.1": 6, "0.1.3": 6, "0.2.0": 9, "0.3.0": 10, "0.4.0": 10}[version]
     x = rng.rand(b, h, w, total).astype(np.float32)
     q = rng.randint(0, 256, (b, h, w, 1)).astype(np.float32) / 255.0
     x[..., 3:6] = q  # depth: quantized, equal channels
+    if version == "0.2.0":
+        # the DSAM decomposition consumes the CSF-fused depth (6:9), so THAT
+        # block must be the quantized equal-channel gray for edge robustness
+        q2 = rng.randint(0, 256, (b, h, w, 1)).astype(np.float32) / 255.0
+        x[..., 6:9] = q2
     if total == 10:
         x[..., 9:10] = (rng.rand(b, h, w, 1) > 0.3).astype(np.float32)  # binary mask
     return x
@@ -387,6 +392,10 @@ def _assert_depth_clear_of_window_edges(ref, version, x, margin_frac=5e-5):
             ratios = ref.ratio_predictor(depth_t).reshape(-1)
         else:  # fixed default ratio (custom_model.py:647)
             ratios = torch.full((x.shape[0],), 0.1)
+    if version == "0.2.0":
+        # the 9-channel else branch decomposes the CSF-fused depth (6:9),
+        # custom_model.py:360,369 — check edge distance on THAT block
+        depth_t = torch.from_numpy(x.transpose(0, 3, 1, 2)[:, 6:9])
     helper = ref.dsam0
     for b in range(x.shape[0]):
         with torch.no_grad():
@@ -407,7 +416,7 @@ def _assert_depth_clear_of_window_edges(ref, version, x, margin_frac=5e-5):
                 )
 
 
-@pytest.mark.parametrize("version", ["0.1.1", "0.1.3", "0.3.0", "0.4.0"])
+@pytest.mark.parametrize("version", ["0.1.1", "0.1.3", "0.2.0", "0.3.0", "0.4.0"])
 def test_pixel_level_forward_matches_reference(version):
     """The reference's CustomMask2FormerPixelLevelModule forward — per-sample
     DSAM python loop, `.item()` ratio syncs, detached two-branch sum — vs this

@@ -27,10 +27,11 @@ LayerNorm excluded, BN/GroupNorm scales INCLUDED, Swin's
 relative_position_bias_table excluded by HF's r"bias" regex), global-norm
 clipping, torch's UNBIASED BatchNorm running-var update (caught flax's
 biased update; see models.fusion.TorchBatchNorm), and the loss layer
-weighting across 20 coupled steps (flagship 0.4.0) / 12 steps (0.1.1
-dual-backbone + FeatureFuser + DSAM; 0.3.0 backbone-driven RatioPredictor +
-DGGM residual, custom_model.py version branches) where any drift compounds;
-plus the
+weighting across 20 coupled steps (flagship 0.4.0) / 12 steps each for
+0.1.1 (dual-backbone + FeatureFuser + DSAM), 0.3.0 (backbone-driven
+RatioPredictor + DGGM residual) and 0.2.0 (9-channel CSF, DSAM driven by
+fused depth — the reference forward's default else branch), covering every
+fusion family the version registry trains through; plus the
 eval protocol — both stacks' final predictions post-processed by their own
 stacks and scored by the same in-repo mAP metric.
 
@@ -76,7 +77,7 @@ VERSION = "0.4.0"
 # input channel count per exercised version (0.1.1 = RGB+depth dual-backbone
 # + FeatureFuser + DSAM — covers dual-Swin and fuser gradients the flagship
 # path never touches; reference custom_model.py:88-93)
-CHANNELS = {"0.4.0": 10, "0.1.1": 6, "0.3.0": 10}
+CHANNELS = {"0.4.0": 10, "0.1.1": 6, "0.3.0": 10, "0.2.0": 9}
 
 
 def _my_cfg(version: str = VERSION) -> ModelConfig:
@@ -451,6 +452,7 @@ def _map_score_torch(model, batch):
         ("0.4.0", N_STEPS),  # flagship, 20 coupled steps
         ("0.1.1", 12),  # dual-backbone + FeatureFuser + DSAM training paths
         ("0.3.0", 12),  # backbone-driven RatioPredictor + DGGM-residual paths
+        ("0.2.0", 12),  # CSF 9-channel: DSAM driven by fused depth (ref else branch)
     ],
 )
 def test_training_loop_matches_reference(tmp_path, monkeypatch, version, n_steps):
@@ -536,7 +538,7 @@ def test_training_loop_matches_reference(tmp_path, monkeypatch, version, n_steps
     assert abs(map_ours - map_torch) < 0.02, (map_ours, map_torch)
 
 
-@pytest.mark.parametrize("version", ["0.4.0", "0.1.1", "0.3.0"])
+@pytest.mark.parametrize("version", ["0.4.0", "0.1.1", "0.3.0", "0.2.0"])
 def test_step0_gradients_match_reference(tmp_path, monkeypatch, version):
     """Amplification-free backward differential: one forward+backward from
     identical init on an identical batch, comparing the FULL gradient trees
