@@ -314,6 +314,28 @@ def test_intrinsics_predictor_matches_reference():
             )
 
 
+def test_surface_normals_intrinsics_matches_reference():
+    """Intrinsics-based normals (ops/normals.surface_normals_intrinsics) vs
+    the reference's host-numpy `calculate_surface_normals`
+    (data_process.py:1308-1371): same 3D-point cross-product formulation,
+    same invalid-depth → (0,0,0) handling, including a zero-depth patch that
+    exercises the NaN gradient propagation band around invalid pixels."""
+    from mask2former.utils.data_process import calculate_surface_normals
+
+    from rgbdseg_tpu.ops import normals as N
+
+    rng = np.random.RandomState(21)
+    d = rng.uniform(0.5, 8.0, size=(48, 64)).astype(np.float32)
+    d[10:18, 20:30] = 0.0  # invalid-depth patch
+    intr = {"fx": 57.3, "fy": 61.1, "cx": 31.5, "cy": 23.5}
+    ref_n, ref_m = calculate_surface_normals(d, intr)
+    out_n, out_m = jax.jit(N.surface_normals_intrinsics)(
+        jnp.asarray(d), intr["fx"], intr["fy"], intr["cx"], intr["cy"]
+    )
+    np.testing.assert_allclose(np.asarray(out_n), ref_n, atol=1e-4, rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out_m), ref_m)
+
+
 # ---------------------------------------------------------------------------
 # Full version-dispatched pixel-level forward (custom_model.py:56-390)
 # ---------------------------------------------------------------------------
@@ -358,8 +380,28 @@ def _pixel_inputs(version, rng):
     value replicated x3 so the histogram differential is bin-edge robust (the
     3-channel->gray path itself is pinned by test_ops_depth)."""
     b, h, w = 2, 64, 96
-    total = {"0.1.1": 6, "0.1.3": 6, "0.2.0": 9, "0.3.0": 10, "0.4.0": 10}[version]
+    total = {
+        "0.0.2": 7,
+        "0.0.3": 7,
+        "0.0.7": 4,
+        "0.1.1": 6,
+        "0.1.3": 6,
+        "0.2.0": 9,
+        "0.3.0": 10,
+        "0.4.0": 10,
+    }[version]
     x = rng.rand(b, h, w, total).astype(np.float32)
+    if version in ("0.0.2", "0.0.3"):
+        # RGB + gradient-depth (3:6) + binary gradient mask (6:7); no DSAM,
+        # so no quantization constraints apply
+        x[..., 6] = (rng.rand(b, h, w) > 0.3).astype(np.float32)
+        return x
+    if version == "0.0.7":
+        # gray depth (3:4): positive depths + an invalid-zero patch so the
+        # in-forward normals path exercises its invalid-depth masking
+        x[..., 3] = rng.uniform(0.5, 8.0, (b, h, w)).astype(np.float32)
+        x[:, 12:20, 30:44, 3] = 0.0
+        return x
     q = rng.randint(0, 256, (b, h, w, 1)).astype(np.float32) / 255.0
     x[..., 3:6] = q  # depth: quantized, equal channels
     if version == "0.2.0":
@@ -383,6 +425,8 @@ def _assert_depth_clear_of_window_edges(ref, version, x, margin_frac=5e-5):
     with the reference's own decomposition helpers at the reference's own
     predicted ratio. If this ever fires, REGENERATE the fixture (different
     seed / quantization), don't widen the output tolerance."""
+    if not hasattr(ref, "dsam0"):
+        return  # no DSAM decomposition in this version — no window edges
     depth_t = torch.from_numpy(x.transpose(0, 3, 1, 2)[:, 3:6])
     with torch.no_grad():
         if version in ("0.1.3", "0.3.0"):
@@ -416,7 +460,9 @@ def _assert_depth_clear_of_window_edges(ref, version, x, margin_frac=5e-5):
                 )
 
 
-@pytest.mark.parametrize("version", ["0.1.1", "0.1.3", "0.2.0", "0.3.0", "0.4.0"])
+@pytest.mark.parametrize(
+    "version", ["0.0.2", "0.0.3", "0.0.7", "0.1.1", "0.1.3", "0.2.0", "0.3.0", "0.4.0"]
+)
 def test_pixel_level_forward_matches_reference(version):
     """The reference's CustomMask2FormerPixelLevelModule forward — per-sample
     DSAM python loop, `.item()` ratio syncs, detached two-branch sum — vs this
