@@ -381,16 +381,22 @@ def _pixel_inputs(version, rng):
     3-channel->gray path itself is pinned by test_ops_depth)."""
     b, h, w = 2, 64, 96
     total = {
+        "0.0.0": 3,
+        "0.0.1": 6,
         "0.0.2": 7,
         "0.0.3": 7,
         "0.0.7": 4,
+        "0.1.0": 6,
         "0.1.1": 6,
+        "0.1.2": 6,
         "0.1.3": 6,
         "0.2.0": 9,
         "0.3.0": 10,
         "0.4.0": 10,
     }[version]
     x = rng.rand(b, h, w, total).astype(np.float32)
+    if version in ("0.0.0", "0.0.1"):
+        return x  # RGB only / RGB + gradient-depth; nothing quantized
     if version in ("0.0.2", "0.0.3"):
         # RGB + gradient-depth (3:6) + binary gradient mask (6:7); no DSAM,
         # so no quantization constraints apply
@@ -461,7 +467,21 @@ def _assert_depth_clear_of_window_edges(ref, version, x, margin_frac=5e-5):
 
 
 @pytest.mark.parametrize(
-    "version", ["0.0.2", "0.0.3", "0.0.7", "0.1.1", "0.1.3", "0.2.0", "0.3.0", "0.4.0"]
+    "version",
+    [
+        "0.0.0",
+        "0.0.1",
+        "0.0.2",
+        "0.0.3",
+        "0.0.7",
+        "0.1.0",
+        "0.1.1",
+        "0.1.2",
+        "0.1.3",
+        "0.2.0",
+        "0.3.0",
+        "0.4.0",
+    ],
 )
 def test_pixel_level_forward_matches_reference(version):
     """The reference's CustomMask2FormerPixelLevelModule forward — per-sample
