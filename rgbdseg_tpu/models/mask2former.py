@@ -114,6 +114,17 @@ class PixelLevelModule(nn.Module):
                 gray = _ch(pixel_values, spec, "gray_depth")  # (B, H, W, 1)
                 fx, fy, cx, cy = IntrinsicsPredictor(name="intrinsics_predictor")(gray)
                 normals, valid = jax.vmap(surface_normals_intrinsics)(gray[..., 0], fx, fy, cx, cy)
+                # The reference computes normals in host numpy from the
+                # predicted intrinsics (custom_model.py:169-196, via
+                # `.cpu().numpy()`), so the normals — and therefore the
+                # intrinsics predictor — are DETACHED from the autodiff
+                # graph. Match that boundary: without it the normals' NaN
+                # intermediates (invalid-depth handling in
+                # surface_normals_intrinsics) leak NaN into the intrinsics
+                # parameters' gradients through the where-trap, which then
+                # NaNs the global-norm clip and the whole training step.
+                normals = jax.lax.stop_gradient(normals)
+                valid = jax.lax.stop_gradient(valid)
                 grad, mask = normals, valid[..., None]
             else:
                 grad = _ch(pixel_values, spec, "gradient")

@@ -79,6 +79,44 @@ def test_loss_and_gradients():
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+@pytest.mark.slow  # extra per-version fwd+bwd compile
+def test_normals_version_gradients_finite_and_detached():
+    """Training version 0.0.7 (in-forward intrinsics → surface normals →
+    DGGM): every gradient must be finite, and the intrinsics predictor must
+    receive ZERO gradient — the reference computes normals in host numpy from
+    the predicted intrinsics (custom_model.py:169-196), detaching them from
+    autodiff. Without the matching stop_gradient, the normals' invalid-depth
+    NaN intermediates leak NaN into the intrinsics gradients (the where-trap),
+    which NaNs the global-norm clip and the whole training step."""
+    cfg, model, x, variables = _make("0.0.7")
+    # invalid-depth patch in the gray channel exercises the NaN band
+    xn = np.array(x)
+    xn[..., 3] = np.random.RandomState(2).uniform(0.5, 8.0, xn.shape[:3])
+    xn[:, 10:20, 10:20, 3] = 0.0
+    x = jnp.asarray(xn)
+    masks, classes, valid = _targets()
+
+    def loss_fn(params):
+        out = model.apply({"params": params}, x)
+        total, _ = mask2former_loss(cfg, out, masks, classes, valid, jax.random.PRNGKey(7))
+        return total
+
+    total, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(total))
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    nonfinite = [
+        jax.tree_util.keystr(k) for k, v in flat if not bool(jnp.isfinite(v).all())
+    ]
+    assert not nonfinite, nonfinite
+    intr = [
+        (jax.tree_util.keystr(k), float(jnp.abs(v).max()))
+        for k, v in flat
+        if "intrinsics" in jax.tree_util.keystr(k)
+    ]
+    assert intr  # the predictor exists in this version
+    assert all(m == 0.0 for _, m in intr), intr
+
+
 @pytest.mark.slow  # whichever variant runs first pays the ~120 s default
 # fwd+bwd baseline compile (demoting a single variant just moves it) — the
 # whole A/B parity group lives in the slow tier per the fast-suite budget
