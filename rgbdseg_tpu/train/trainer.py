@@ -78,6 +78,17 @@ def _hf_decay_mask(params):
     return jax.tree_util.tree_map_with_path(lambda p, _: is_decay(p), params)
 
 
+def _reference_frozen_mask(params):
+    """Params the reference torch stack can NEVER update: the intrinsics
+    predictor feeds only the host-numpy normals computation, so its grads are
+    always None and torch AdamW skips them (no step, no weight decay)."""
+
+    def frozen(path):
+        return any(str(getattr(k, "key", k)) == "intrinsics_predictor" for k in path)
+
+    return jax.tree_util.tree_map_with_path(lambda p, _: frozen(p), params)
+
+
 class Trainer:
     def __init__(
         self,
@@ -176,7 +187,7 @@ class Trainer:
             [max(warmup, 1)] if warmup > 0 else [0],
         )
         self.schedule = schedule
-        self.tx = optax.chain(
+        stages = [
             optax.clip_by_global_norm(self.args.max_grad_norm),
             optax.adamw(
                 schedule,
@@ -186,7 +197,21 @@ class Trainer:
                 weight_decay=self.args.weight_decay,
                 mask=_hf_decay_mask,
             ),
-        )
+        ]
+        from ..versions import get as _get_version
+
+        if _get_version(self.cfg.version).fusion.intrinsics_normals:
+            # Reference-frozen params: the intrinsics predictor's ONLY
+            # consumer is the host-numpy normals (custom_model.py:169-196),
+            # so in the torch stack its p.grad is always None and torch
+            # AdamW SKIPS those params entirely — no Adam step AND no
+            # decoupled weight decay. Our grads are exact zeros (the model
+            # stop_gradients the normals), but adamw-with-decay would still
+            # shrink the kernels; zero the updates to match. Appended only
+            # for intrinsics versions so other versions' opt_state trees
+            # (and their checkpoints) are unchanged.
+            stages.append(optax.masked(optax.set_to_zero(), _reference_frozen_mask))
+        self.tx = optax.chain(*stages)
         # tx.init's zeros_like inherits each master param's sharding, so the
         # optimizer moments are model-sharded exactly like their params. Leaves
         # tx.init creates fresh (e.g. Adam's step count) land on one device —

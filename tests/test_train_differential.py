@@ -77,7 +77,7 @@ VERSION = "0.4.0"
 # input channel count per exercised version (0.1.1 = RGB+depth dual-backbone
 # + FeatureFuser + DSAM — covers dual-Swin and fuser gradients the flagship
 # path never touches; reference custom_model.py:88-93)
-CHANNELS = {"0.4.0": 10, "0.1.1": 6, "0.3.0": 10, "0.2.0": 9}
+CHANNELS = {"0.4.0": 10, "0.1.1": 6, "0.3.0": 10, "0.2.0": 9, "0.0.7": 4}
 
 
 def _my_cfg(version: str = VERSION) -> ModelConfig:
@@ -453,6 +453,7 @@ def _map_score_torch(model, batch):
         ("0.1.1", 12),  # dual-backbone + FeatureFuser + DSAM training paths
         ("0.3.0", 12),  # backbone-driven RatioPredictor + DGGM-residual paths
         ("0.2.0", 12),  # CSF 9-channel: DSAM driven by fused depth (ref else branch)
+        ("0.0.7", 12),  # in-forward intrinsics→normals: detached + AdamW-skipped params
     ],
 )
 def test_training_loop_matches_reference(tmp_path, monkeypatch, version, n_steps):
@@ -515,6 +516,20 @@ def test_training_loop_matches_reference(tmp_path, monkeypatch, version, n_steps
     # ceiling — measured 5% of sum_lr at 6 steps, 11% at 20 steps
     assert np.median(diffs) < 0.2 * sum_lr, (float(np.median(diffs)), sum_lr)
 
+    if version == "0.0.7":
+        # The intrinsics predictor is reference-FROZEN: its grads are always
+        # None in torch (numpy normals boundary), so torch AdamW skips it —
+        # no Adam step, no weight decay. Our side must freeze it identically
+        # (optax.masked set_to_zero in the Trainer), i.e. the trained values
+        # equal torch's final values EXACTLY, not just within the Adam
+        # ceiling — this catches both a missing stop_gradient and a
+        # decay-despite-zero-grad divergence, which the generic bound above
+        # is too loose to see.
+        intr = [k for k in ref_flat if "intrinsics_predictor" in k]
+        assert intr
+        for k in intr:
+            np.testing.assert_array_equal(ours_flat[k], ref_flat[k], err_msg=k)
+
     # BatchNorm running stats followed torch's (unbiased-var) update chain.
     if ref_bs:
         ours_bs = _flatten(jax.device_get(jax.tree.map(np.asarray, dict(tr.batch_stats))))
@@ -538,7 +553,7 @@ def test_training_loop_matches_reference(tmp_path, monkeypatch, version, n_steps
     assert abs(map_ours - map_torch) < 0.02, (map_ours, map_torch)
 
 
-@pytest.mark.parametrize("version", ["0.4.0", "0.1.1", "0.3.0", "0.2.0"])
+@pytest.mark.parametrize("version", ["0.4.0", "0.1.1", "0.3.0", "0.2.0", "0.0.7"])
 def test_step0_gradients_match_reference(tmp_path, monkeypatch, version):
     """Amplification-free backward differential: one forward+backward from
     identical init on an identical batch, comparing the FULL gradient trees
